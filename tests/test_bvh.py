@@ -1,0 +1,94 @@
+"""BVH-vs-brute-force property tests (port of the reference's oracle idea:
+renderers/aggregate_test_renderer.dart:31-139 shoots random rays and compares
+the accelerator against exhaustive intersection)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dartray_tpu.accel import bvh as bvh_mod
+from dartray_tpu.accel import traverse
+from dartray_tpu.core import math as vm
+from dartray_tpu.scene import mesh as mesh_mod
+
+
+def random_tri_soup(n, seed=0, spread=4.0):
+    rng = np.random.RandomState(seed)
+    v0 = (rng.rand(n, 3) * 2 - 1) * spread
+    e1 = (rng.rand(n, 3) * 2 - 1)
+    e2 = (rng.rand(n, 3) * 2 - 1)
+    return (v0.astype(np.float32), e1.astype(np.float32),
+            e2.astype(np.float32))
+
+
+def random_rays(n, seed=1, spread=6.0):
+    rng = np.random.RandomState(seed)
+    o = (rng.rand(n, 3) * 2 - 1).astype(np.float32) * spread
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return vm.make_rays(jnp.asarray(o), jnp.asarray(d))
+
+
+@pytest.mark.parametrize("n_tris,method", [(37, "sah"), (200, "sah"),
+                                           (200, "equal"), (200, "middle")])
+def test_bvh_matches_brute_force(n_tris, method):
+    v0, e1, e2 = random_tri_soup(n_tris)
+    b = bvh_mod.build(v0, e1, e2, split_method=method)
+    rays = random_rays(2000)
+    hb = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays)
+    ho = traverse.brute_force_intersect(jnp.asarray(v0), jnp.asarray(e1),
+                                        jnp.asarray(e2), rays, chunk=64)
+    hit_b = np.asarray(hb.hit)
+    hit_o = np.asarray(ho.hit)
+    assert (hit_b == hit_o).mean() > 0.999  # f32 edge cases tolerated
+    both = hit_b & hit_o
+    np.testing.assert_allclose(np.asarray(hb.t)[both], np.asarray(ho.t)[both],
+                               rtol=1e-3, atol=1e-4)
+    # same prim for the overwhelming majority (coplanar ties tolerated)
+    assert (np.asarray(hb.prim)[both] == np.asarray(ho.prim)[both]).mean() > 0.995
+
+
+def test_bvh_any_hit_consistent():
+    v0, e1, e2 = random_tri_soup(100, seed=3)
+    b = bvh_mod.build(v0, e1, e2)
+    rays = random_rays(1000, seed=4)
+    occluded = traverse.intersect_p(jnp.asarray(b.rows), jnp.asarray(b.links),
+                                    rays)
+    ho = traverse.brute_force_intersect(jnp.asarray(v0), jnp.asarray(e1),
+                                        jnp.asarray(e2), rays)
+    assert (np.asarray(occluded) == np.asarray(ho.hit)).mean() > 0.999
+
+
+def test_bvh_sphere_mesh():
+    m = mesh_mod.sphere(radius=1.0, nu=32, nv=16)
+    v0, e1, e2 = bvh_mod.triangles_to_mt(m.verts, m.faces)
+    b = bvh_mod.build(v0, e1, e2)
+    # rays from origin outward must all hit the unit sphere from inside
+    rng = np.random.RandomState(7)
+    d = rng.randn(500, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = vm.make_rays(jnp.zeros((500, 3), jnp.float32), jnp.asarray(d))
+    h = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays)
+    assert np.asarray(h.hit).all()
+    # hit distance ~ 1 (chordal error from tessellation)
+    np.testing.assert_allclose(np.asarray(h.t), 1.0, atol=0.02)
+    # rays starting outside, pointing radially outward, must miss
+    rays2 = vm.make_rays(jnp.asarray(d * 3.0), jnp.asarray(d))
+    h2 = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays2)
+    assert not np.asarray(h2.hit).any()
+
+
+def test_tmin_tmax_respected():
+    v0, e1, e2 = random_tri_soup(50, seed=9)
+    b = bvh_mod.build(v0, e1, e2)
+    rays = random_rays(500, seed=10)
+    h = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays)
+    hit = np.asarray(h.hit)
+    t = np.asarray(h.t)[hit]
+    # re-shoot with tmax just below each hit: must miss that prim at that t
+    idx = np.where(hit)[0]
+    rays2 = vm.Rays(o=rays.o[idx], d=rays.d[idx],
+                    tmin=rays.tmin[idx],
+                    tmax=jnp.asarray(t * 0.99), time=rays.time[idx])
+    h2 = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays2)
+    t2 = np.asarray(h2.t)
+    assert ((t2 < t * 0.99) | ~np.asarray(h2.hit)).all()
