@@ -1,0 +1,203 @@
+"""Image film: XYZ + weight accumulation with filter-table splatting.
+
+TPU-native replacement for lib/film/image_film.dart:37-325 and lib/filters/
+(box/triangle/gaussian/mitchell/sinc). The reference rasterizes each sample's
+filter support serially (image_film.dart:99-185) with a 16x16 precomputed
+filter table (:74-82). Here the film is a device (H, W, 4) accumulator
+[X, Y, Z, weightSum] plus an (H, W, 3) splat buffer for MLT (:187-245), and a
+whole wavefront of samples is deposited with one scatter-add per filter-
+footprint tap — the footprint loop is a static Python loop over the (small)
+filter extent, each tap fully vectorized across the wave.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .core import spectrum as spec
+
+FILTER_TABLE_SIZE = 16  # image_film.dart:74
+
+
+# --- filters (lib/filters/*.dart Create defaults in Appendix B) ------------
+
+def filter_eval(name: str, params, x, y):
+    """Evaluate filter kernel on host (numpy); x/y in filter-width units."""
+    xw, yw = params["xwidth"], params["ywidth"]
+    ax, ay = np.abs(x), np.abs(y)
+    if name == "box":
+        return np.ones_like(x)
+    if name == "triangle":
+        return np.maximum(xw - ax, 0.0) * np.maximum(yw - ay, 0.0)
+    if name == "gaussian":
+        a = params.get("alpha", 2.0)
+        ex = np.exp(-a * xw * xw)
+        ey = np.exp(-a * yw * yw)
+        gx = np.maximum(np.exp(-a * x * x) - ex, 0.0)
+        gy = np.maximum(np.exp(-a * y * y) - ey, 0.0)
+        return gx * gy
+    if name == "mitchell":
+        b = params.get("B", 1.0 / 3.0)
+        c = params.get("C", 1.0 / 3.0)
+
+        def m1d(t):
+            t = np.abs(2.0 * t)
+            out = np.where(
+                t > 1,
+                ((-b - 6 * c) * t ** 3 + (6 * b + 30 * c) * t ** 2
+                 + (-12 * b - 48 * c) * t + (8 * b + 24 * c)) * (1.0 / 6.0),
+                ((12 - 9 * b - 6 * c) * t ** 3 + (-18 + 12 * b + 6 * c) * t ** 2
+                 + (6 - 2 * b)) * (1.0 / 6.0))
+            return out
+        return m1d(x / xw) * m1d(y / yw)
+    if name == "sinc":
+        tau = params.get("tau", 3.0)
+
+        def s1d(t, w):
+            t = np.abs(t / w)
+            lanczos = np.where(
+                t < 1e-5, 1.0,
+                np.where(t > 1.0, 0.0,
+                         (np.sin(np.pi * t * tau) / np.maximum(np.pi * t * tau, 1e-9))
+                         * (np.sin(np.pi * t) / np.maximum(np.pi * t, 1e-9))))
+            return lanczos
+        return s1d(x, xw) * s1d(y, yw)
+    raise ValueError(f"unknown filter {name}")
+
+
+FILTER_DEFAULTS = {
+    # Appendix B: box 0.5; triangle 2; gaussian 2 (alpha 2); mitchell 2
+    # (B=C=1/3); sinc 4 (tau 3)
+    "box": {"xwidth": 0.5, "ywidth": 0.5},
+    "triangle": {"xwidth": 2.0, "ywidth": 2.0},
+    "gaussian": {"xwidth": 2.0, "ywidth": 2.0, "alpha": 2.0},
+    "mitchell": {"xwidth": 2.0, "ywidth": 2.0, "B": 1 / 3, "C": 1 / 3},
+    "sinc": {"xwidth": 4.0, "ywidth": 4.0, "tau": 3.0},
+}
+
+
+def filter_table(name: str, params=None):
+    """Precompute the 16x16 filter table (image_film.dart:74-82)."""
+    p = dict(FILTER_DEFAULTS[name])
+    if params:
+        p.update(params)
+    xw, yw = p["xwidth"], p["ywidth"]
+    fx = (np.arange(FILTER_TABLE_SIZE) + 0.5) / FILTER_TABLE_SIZE * xw
+    fy = (np.arange(FILTER_TABLE_SIZE) + 0.5) / FILTER_TABLE_SIZE * yw
+    gx, gy = np.meshgrid(fx, fy, indexing="ij")
+    table = filter_eval(name, p, gx, gy).astype(np.float32)
+    return jnp.asarray(table), float(xw), float(yw)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["pixels", "splat", "ftable"],
+         meta_fields=["width", "height", "xwidth", "ywidth", "x0", "y0"])
+@dataclasses.dataclass
+class Film:
+    """Device film state. x0/y0: crop-window offset of this film's pixel
+    (0,0) in full-image raster coords (OutputImage sub-window semantics,
+    core/output_image.dart:35-56 — used for multi-shard tile compositing)."""
+    pixels: jnp.ndarray   # (H, W, 4) [X, Y, Z, weight]
+    splat: jnp.ndarray    # (H, W, 3) XYZ splat (Metropolis)
+    ftable: jnp.ndarray   # (16, 16)
+    width: int
+    height: int
+    xwidth: float
+    ywidth: float
+    x0: int
+    y0: int
+
+
+def make_film(width, height, filter_name="box", filter_params=None,
+              x0=0, y0=0) -> Film:
+    table, xw, yw = filter_table(filter_name, filter_params)
+    return Film(pixels=jnp.zeros((height, width, 4), jnp.float32),
+                splat=jnp.zeros((height, width, 3), jnp.float32),
+                ftable=table, width=width, height=height,
+                xwidth=xw, ywidth=yw, x0=x0, y0=y0)
+
+
+def add_samples(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
+                mask=None) -> Film:
+    """Deposit a wavefront of radiance samples (image_film.dart:99-185).
+
+    image_xy: (R, 2) continuous raster coords (film-local); L: (R, 3) RGB.
+    XYZ accumulation with filter weights from the table, discrete-continuous
+    offset dimage = sample - 0.5 (:101-102). NaN/negative/inf samples are
+    zeroed (sampler_renderer.dart:181-193 invariant).
+    """
+    finite = jnp.all(jnp.isfinite(L_rgb), axis=-1)
+    lum = spec.luminance(L_rgb)
+    ok = finite & (lum > -1e-5) & jnp.isfinite(lum)
+    if mask is not None:
+        ok = ok & mask
+    L_rgb = jnp.where(ok[:, None], L_rgb, 0.0)
+    w_ok = ok.astype(jnp.float32)
+    xyz = spec.rgb_to_xyz(L_rgb)
+
+    dx = image_xy[:, 0] - 0.5 - film.x0
+    dy = image_xy[:, 1] - 0.5 - film.y0
+    px = jnp.floor(dx)
+    py = jnp.floor(dy)
+    # static footprint loop over filter extent
+    ext_x = int(np.ceil(film.xwidth - 0.5)) + 1
+    ext_y = int(np.ceil(film.ywidth - 0.5)) + 1
+    pixels = film.pixels
+    inv_xw = 1.0 / film.xwidth
+    inv_yw = 1.0 / film.ywidth
+    for oy in range(-ext_y + 1, ext_y):
+        for ox in range(-ext_x + 1, ext_x):
+            ix = px.astype(jnp.int32) + ox
+            iy = py.astype(jnp.int32) + oy
+            fx = jnp.abs(ix.astype(jnp.float32) - dx) * inv_xw
+            fy = jnp.abs(iy.astype(jnp.float32) - dy) * inv_yw
+            in_support = (fx < 1.0) & (fy < 1.0)
+            tx = jnp.minimum((fx * FILTER_TABLE_SIZE).astype(jnp.int32),
+                             FILTER_TABLE_SIZE - 1)
+            ty = jnp.minimum((fy * FILTER_TABLE_SIZE).astype(jnp.int32),
+                             FILTER_TABLE_SIZE - 1)
+            fw = film.ftable[tx, ty]
+            in_img = ((ix >= 0) & (ix < film.width)
+                      & (iy >= 0) & (iy < film.height))
+            w = jnp.where(in_support & in_img, fw, 0.0) * w_ok
+            contrib = jnp.concatenate([xyz * w[:, None], w[:, None]], axis=-1)
+            ixc = jnp.clip(ix, 0, film.width - 1)
+            iyc = jnp.clip(iy, 0, film.height - 1)
+            pixels = pixels.at[iyc, ixc].add(contrib)
+    return dataclasses.replace(film, pixels=pixels)
+
+
+def splat(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
+          mask=None) -> Film:
+    """Unweighted splat accumulation for MLT (image_film.dart:187-245)."""
+    finite = jnp.all(jnp.isfinite(L_rgb), axis=-1)
+    if mask is not None:
+        finite = finite & mask
+    xyz = spec.rgb_to_xyz(jnp.where(finite[:, None], L_rgb, 0.0))
+    ix = jnp.clip((image_xy[:, 0] - film.x0).astype(jnp.int32), 0,
+                  film.width - 1)
+    iy = jnp.clip((image_xy[:, 1] - film.y0).astype(jnp.int32), 0,
+                  film.height - 1)
+    inb = (((image_xy[:, 0] - film.x0) >= 0)
+           & ((image_xy[:, 0] - film.x0) < film.width)
+           & ((image_xy[:, 1] - film.y0) >= 0)
+           & ((image_xy[:, 1] - film.y0) < film.height))
+    xyz = jnp.where(inb[:, None], xyz, 0.0)
+    return dataclasses.replace(film, splat=film.splat.at[iy, ix].add(xyz))
+
+
+def to_rgb(film: Film, splat_scale=0.0) -> jnp.ndarray:
+    """Resolve to (H, W, 3) linear RGB: XYZToRGB(Lxyz)/weightSum +
+    splatScale * XYZToRGB(splatXYZ) (image_film.dart:268-299)."""
+    w = film.pixels[..., 3:4]
+    xyz = film.pixels[..., :3] / jnp.maximum(w, 1e-12)
+    rgb = spec.xyz_to_rgb(jnp.where(w > 0, xyz, 0.0))
+    rgb = jnp.maximum(rgb, 0.0)
+    if splat_scale:
+        rgb = rgb + jnp.maximum(spec.xyz_to_rgb(film.splat), 0.0) * splat_scale
+    return rgb

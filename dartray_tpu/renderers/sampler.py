@@ -1,0 +1,67 @@
+"""SamplerRenderer: the main wavefront render loop.
+
+TPU-native replacement for lib/renderers/sampler_renderer.dart:28-227. The
+reference's per-pixel-batch getMoreSamples loop becomes: one *wave* = every
+film pixel x one sample index, fully vectorized; a jitted wave step generates
+camera samples/rays, evaluates the surface integrator's Li over the wave, and
+scatter-adds into the film. Waves iterate over sample indices (Python loop
+over a jitted step — each step is hundreds of ms of device work, so dispatch
+overhead is negligible; bench can lax.fori the whole loop).
+
+Li composition semantics (sampler_renderer.dart:67-98, Appendix A.1):
+L = T * Li_surface + Lvi with NaN/negative/inf clamping to black handled in
+film.add_samples.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import cameras as cam_mod
+from .. import film as film_mod
+from .. import samplers as smp_mod
+
+
+def pixel_grid(width, height, x0=0, y0=0):
+    """Flattened pixel index arrays for a film window (GetSubWindow analog:
+    a shard renders [x0, x0+width) x [y0, y0+height))."""
+    ys, xs = np.meshgrid(np.arange(height, dtype=np.int32),
+                         np.arange(width, dtype=np.int32), indexing="ij")
+    return (jnp.asarray(xs.reshape(-1) + x0), jnp.asarray(ys.reshape(-1) + y0))
+
+
+def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
+                li_fn: Callable, film: film_mod.Film, px, py, s_idx,
+                width: int, height: int, spp: int):
+    """One wave: (pixels x one sample index) -> film' (jit-friendly)."""
+    cs = smp_mod.camera_samples(sampler, px, py, s_idx)
+    diff_scale = 1.0 / np.sqrt(max(spp, 1))  # sampler_renderer.dart:166
+    rays, diffs, weight = cam_mod.generate_rays(camera, cs, width, height,
+                                                diff_scale)
+    sctx = {"sampler": sampler, "px": px, "py": py, "s_idx": s_idx}
+    L = li_fn(scene, rays, diffs, sctx)
+    L = L * weight[:, None]
+    return film_mod.add_samples(film, cs.image_xy, L)
+
+
+def render(scene, camera, sampler, li_fn, width, height,
+           progress: Optional[Callable] = None):
+    """Full render: returns (H, W, 3) linear RGB."""
+    film = film_mod.make_film(width, height)
+    px, py = pixel_grid(width, height)
+    spp = sampler.spp
+
+    step = jax.jit(partial(render_wave, li_fn=li_fn, width=width,
+                           height=height, spp=spp),
+                   static_argnames=())
+    for s in range(spp):
+        s_idx = jnp.full(px.shape, s, jnp.int32)
+        film = step(scene, camera, sampler, film=film, px=px, py=py,
+                    s_idx=s_idx)
+        if progress is not None:
+            progress(s + 1, spp, film)
+    return np.asarray(film_mod.to_rgb(film))

@@ -1,0 +1,144 @@
+"""Wavefront sample generation: low-discrepancy / stratified / random / halton.
+
+TPU-native replacement for lib/samplers/ (low_discrepancy_sampler.dart:31,
+stratified_sampler.dart, random_sampler.dart, halton_sampler.dart) and the
+Sample/CameraSample request protocol (lib/core/sample.dart:23-79). The
+reference's stateful getMoreSamples pixel loop becomes pure functions of
+(pixel, sample_index, dimension, seed): every sample value is computable
+independently on device, which makes output bit-identical for any shard
+count (SURVEY §7 determinism requirement).
+
+Dimension allocation convention (mirrors CameraSample): dims 0,1 = image
+offset; 2,3 = lens; 4 = time; integrators draw dims >= 5 via sample_1d/2d.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .core import sampling as smp
+from .cameras import CameraSamples
+
+U32 = jnp.uint32
+
+LOWDISCREPANCY = 0
+STRATIFIED = 1
+RANDOM = 2
+HALTON = 3
+BESTCANDIDATE = 4
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["seed"],
+         meta_fields=["kind", "spp", "nx", "ny", "jitter"])
+@dataclasses.dataclass
+class Sampler:
+    kind: int
+    spp: int
+    seed: jnp.ndarray       # () uint32
+    nx: int = 1             # stratified strata
+    ny: int = 1
+    jitter: bool = True
+
+
+def _round_pow2(n):
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+
+def make_sampler(kind: str, spp: int = 4, seed: int = 0, jitter=True) -> Sampler:
+    if kind == "lowdiscrepancy" or kind == "02sequence":
+        # pow-2 spp rounding (low_discrepancy_sampler.dart:60-62)
+        return Sampler(LOWDISCREPANCY, _round_pow2(spp), jnp.uint32(seed))
+    if kind == "stratified":
+        nx = max(int(np.round(np.sqrt(spp))), 1)
+        ny = max((spp + nx - 1) // nx, 1)
+        return Sampler(STRATIFIED, nx * ny, jnp.uint32(seed), nx, ny, jitter)
+    if kind == "random":
+        return Sampler(RANDOM, spp, jnp.uint32(seed))
+    if kind == "halton":
+        return Sampler(HALTON, spp, jnp.uint32(seed))
+    if kind == "bestcandidate":
+        # approximated by LD (the reference's 4000-line embedded table is a
+        # Poisson-disk lookup; (0,2) gives comparable blue-noise quality)
+        return Sampler(LOWDISCREPANCY, _round_pow2(spp), jnp.uint32(seed))
+    raise ValueError(f"unknown sampler {kind}")
+
+
+def _pixel_key(sampler: Sampler, px, py, dim: int):
+    """Per-(pixel, dimension) uint32 scramble key."""
+    h = smp.hash_u32(px.astype(U32) ^ (py.astype(U32) << 16)
+                     ^ (U32(0x9e3779b9) * U32(dim + 1)))
+    return smp.hash_u32(h ^ sampler.seed)
+
+
+def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
+    """(R,) pixel coords + sample indices -> (R, 2) in [0,1)^2."""
+    if sampler.kind == LOWDISCREPANCY:
+        scr = jnp.stack([_pixel_key(sampler, px, py, dim),
+                         _pixel_key(sampler, px, py, dim + 1000)], axis=-1)
+        return smp.sample02(s_idx.astype(U32), scr)
+    if sampler.kind == STRATIFIED:
+        # jittered strata of the (nx, ny) grid in sample-index order, with a
+        # per-(pixel,dim) permutation decorrelating dimensions
+        k = _pixel_key(sampler, px, py, dim)
+        perm_idx = (s_idx.astype(U32) + k) % U32(sampler.spp)
+        sx = (perm_idx % U32(sampler.nx)).astype(jnp.float32)
+        sy = (perm_idx // U32(sampler.nx)).astype(jnp.float32)
+        jx = smp.rng_uniform(k, s_idx.astype(U32) * U32(2))
+        jy = smp.rng_uniform(k, s_idx.astype(U32) * U32(2) + U32(1))
+        if not sampler.jitter:
+            jx = jnp.full_like(jx, 0.5)
+            jy = jnp.full_like(jy, 0.5)
+        return jnp.stack([(sx + jx) / sampler.nx,
+                          (sy + jy) / sampler.ny], axis=-1)
+    if sampler.kind == HALTON:
+        # global permuted-Halton indexed by (pixel-hash + sample) — statistical
+        # equivalent of halton_sampler.dart's image-window sequence
+        k = _pixel_key(sampler, px, py, 0)
+        n = s_idx.astype(U32) ^ (k >> 8)
+        b1 = int(smp._PRIMES[(2 * dim) % 40])
+        b2 = int(smp._PRIMES[(2 * dim + 1) % 40])
+        return jnp.stack([smp.radical_inverse(n, b1),
+                          smp.radical_inverse(n, b2)], axis=-1)
+    # RANDOM
+    k = _pixel_key(sampler, px, py, dim)
+    return jnp.stack([smp.rng_uniform(k, s_idx.astype(U32) * U32(2)),
+                      smp.rng_uniform(k, s_idx.astype(U32) * U32(2) + U32(1))],
+                     axis=-1)
+
+
+def sample_1d(sampler: Sampler, px, py, s_idx, dim: int):
+    if sampler.kind == LOWDISCREPANCY:
+        scr = _pixel_key(sampler, px, py, dim)
+        return smp.van_der_corput(s_idx.astype(U32), scr)
+    if sampler.kind == STRATIFIED:
+        k = _pixel_key(sampler, px, py, dim)
+        perm_idx = (s_idx.astype(U32) + k) % U32(sampler.spp)
+        j = smp.rng_uniform(k, s_idx.astype(U32))
+        if not sampler.jitter:
+            j = jnp.full_like(j, 0.5)
+        return (perm_idx.astype(jnp.float32) + j) / sampler.spp
+    if sampler.kind == HALTON:
+        k = _pixel_key(sampler, px, py, 0)
+        n = s_idx.astype(U32) ^ (k >> 8)
+        b = int(smp._PRIMES[(2 * dim) % 40])
+        return smp.radical_inverse(n, b)
+    k = _pixel_key(sampler, px, py, dim)
+    return smp.rng_uniform(k, s_idx.astype(U32))
+
+
+def camera_samples(sampler: Sampler, px, py, s_idx,
+                   shutter=(0.0, 1.0)) -> CameraSamples:
+    """Image/lens/time sample triple for a wavefront (LDPixelSample layout,
+    montecarlo.dart:407-474). px/py int32 raster pixel; returns continuous
+    raster image_xy = pixel + [0,1)^2 offset."""
+    img = sample_2d(sampler, px, py, s_idx, 0)
+    lens = sample_2d(sampler, px, py, s_idx, 2)
+    time_u = sample_1d(sampler, px, py, s_idx, 4)
+    image_xy = jnp.stack([px.astype(jnp.float32) + img[:, 0],
+                          py.astype(jnp.float32) + img[:, 1]], axis=-1)
+    return CameraSamples(image_xy=image_xy, lens_uv=lens, time_u=time_u)

@@ -1,0 +1,162 @@
+"""Compiled scene: every Primitive/Shape/Material/Light flattened to device
+arrays (SURVEY §7 architecture mapping — the TPU-native replacement for
+DartRay's pointer-based Primitive/Shape polymorphism, lib/core/primitive.dart,
+lib/core/scene.dart:26-69).
+
+The scene compiler (host) consumes the parsed PBRT scene (scene/api.py) and
+emits one CompiledScene pytree of device arrays; all kernels take it as a
+traced argument (no recompilation across scenes of identical shape-signature).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..accel import bvh as bvh_mod
+from ..core import math as vm
+from . import mesh as mesh_mod
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bvh_rows", "bvh_links", "v0", "e1", "e2", "vn", "uv",
+                      "mat_id", "light_id", "world_bound"],
+         meta_fields=["n_prims", "n_nodes"])
+@dataclasses.dataclass
+class Geometry:
+    """Triangle soup + threaded BVH + per-face attribute tables.
+
+    vn: (F, 3, 3) per-corner shading normals (geometric normal replicated
+    when the mesh has none); uv: (F, 3, 2) per-corner uv (barycentric default
+    when absent). mat_id/light_id: (F,) int32 indices into material/light
+    tables (light_id -1 = not emissive).
+    """
+    bvh_rows: jnp.ndarray
+    bvh_links: jnp.ndarray
+    v0: jnp.ndarray
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    vn: jnp.ndarray
+    uv: jnp.ndarray
+    mat_id: jnp.ndarray
+    light_id: jnp.ndarray
+    world_bound: jnp.ndarray   # (2, 3)
+    n_prims: int
+    n_nodes: int
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["geometry", "materials", "lights", "volume", "textures"],
+         meta_fields=[])
+@dataclasses.dataclass
+class CompiledScene:
+    geometry: Geometry
+    materials: Any      # materials.MaterialTable or None
+    lights: Any         # lights.LightTable or None
+    volume: Any         # volumes.VolumeData or None
+    textures: Any       # textures.TextureData or None
+
+
+def compile_geometry(meshes, mat_ids=None, light_ids=None,
+                     split_method="sah") -> Geometry:
+    """meshes: list of TriangleMesh (world space). mat_ids/light_ids:
+    per-mesh ints."""
+    if not meshes:
+        raise ValueError("empty scene")
+    n_meshes = len(meshes)
+    mat_ids = mat_ids if mat_ids is not None else [0] * n_meshes
+    light_ids = light_ids if light_ids is not None else [-1] * n_meshes
+
+    v0s, e1s, e2s, vns, uvs, mids, lids = [], [], [], [], [], [], []
+    for m, mid, lid in zip(meshes, mat_ids, light_ids):
+        v0, e1, e2 = bvh_mod.triangles_to_mt(m.verts, m.faces)
+        f = m.faces
+        if m.normals is not None:
+            vn = np.stack([m.normals[f[:, k]] for k in range(3)], axis=1)
+        else:
+            gn = np.cross(e1, e2)
+            gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+            vn = np.repeat(gn[:, None, :], 3, axis=1)
+        if m.uvs is not None:
+            uv = np.stack([m.uvs[f[:, k]] for k in range(3)], axis=1)
+        else:
+            uv = np.broadcast_to(
+                np.asarray([[0, 0], [1, 0], [1, 1]], np.float32),
+                (f.shape[0], 3, 2)).copy()
+        v0s.append(v0)
+        e1s.append(e1)
+        e2s.append(e2)
+        vns.append(vn.astype(np.float32))
+        uvs.append(uv.astype(np.float32))
+        mids.append(np.full(f.shape[0], mid, np.int32))
+        lids.append(np.full(f.shape[0], lid, np.int32))
+
+    v0 = np.concatenate(v0s)
+    e1 = np.concatenate(e1s)
+    e2 = np.concatenate(e2s)
+    b = bvh_mod.build(v0, e1, e2, split_method=split_method)
+    return Geometry(
+        bvh_rows=jnp.asarray(b.rows), bvh_links=jnp.asarray(b.links),
+        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        vn=jnp.asarray(np.concatenate(vns)),
+        uv=jnp.asarray(np.concatenate(uvs)),
+        mat_id=jnp.asarray(np.concatenate(mids)),
+        light_id=jnp.asarray(np.concatenate(lids)),
+        world_bound=jnp.asarray(b.world_bound),
+        n_prims=int(v0.shape[0]), n_nodes=b.n_nodes)
+
+
+class SurfaceInteraction:
+    """Namespace for deriving shading data from Hits (the TPU analog of
+    DifferentialGeometry / Intersection, lib/core/differential_geometry.dart,
+    intersection.dart:27-72) — all plain functions over SoA arrays."""
+
+
+def interaction(geom: Geometry, rays, hits):
+    """Hits -> dict of SoA shading arrays for the hit points.
+
+    Returns p, ng (geometric normal), ns (shading normal), uv, wo, mat_id,
+    light_id, all (R, ...) with garbage-but-finite values on misses (callers
+    mask by hits.hit).
+    """
+    prim = jnp.maximum(hits.prim, 0)
+    v0 = geom.v0[prim]
+    e1g = geom.e1[prim]
+    e2g = geom.e2[prim]
+    p = v0 + e1g * hits.b1[:, None] + e2g * hits.b2[:, None]
+    ng = vm.normalize(vm.cross(e1g, e2g))
+    b0 = 1.0 - hits.b1 - hits.b2
+    vn = geom.vn[prim]                     # (R, 3, 3)
+    ns = vm.normalize(vn[:, 0] * b0[:, None] + vn[:, 1] * hits.b1[:, None]
+                      + vn[:, 2] * hits.b2[:, None])
+    # shading normal must be in the same hemisphere as geometric
+    # (Shape.getShadingGeometry convention)
+    ns = vm.face_forward(ns, ng)
+    uvc = geom.uv[prim]                    # (R, 3, 2)
+    uv = (uvc[:, 0] * b0[:, None] + uvc[:, 1] * hits.b1[:, None]
+          + uvc[:, 2] * hits.b2[:, None])
+    # dpdu/dpdv from uv parameterization (triangle.dart partial derivatives)
+    duv1 = uvc[:, 1] - uvc[:, 0]
+    duv2 = uvc[:, 2] - uvc[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    dpdu = (e1g * duv2[:, 1:2] - e2g * duv1[:, 1:2]) * inv[:, None]
+    dpdv = (-e1g * duv2[:, 0:1] + e2g * duv1[:, 0:1]) * inv[:, None]
+    degen = jnp.abs(det) < 1e-12
+    cu, cv = vm.coordinate_system(ng)
+    dpdu = jnp.where(degen[:, None], cu, dpdu)
+    dpdv = jnp.where(degen[:, None], cv, dpdv)
+    return dict(
+        p=p, ng=ng, ns=ns, uv=uv, dpdu=dpdu, dpdv=dpdv,
+        wo=-rays.d, mat_id=geom.mat_id[prim], light_id=geom.light_id[prim],
+        prim=hits.prim, t=hits.t)
+
+
+def ray_epsilon(t):
+    """Offset scale for secondary rays (intersection.dart rayEpsilon:
+    1e-3 * tHit)."""
+    return 1e-3 * jnp.maximum(t, 1e-4)
