@@ -1,0 +1,427 @@
+"""Branchless vectorized BSDF: a fixed 6-slot lobe stack evaluated for whole
+wavefronts.
+
+TPU-native replacement for lib/core/reflection/ (bsdf.dart:41-255, bxdf.dart,
+lambertian.dart, oren_nayar.dart, specular_reflection.dart,
+specular_transmission.dart, microfacet.dart, blinn.dart, fresnel_blend.dart,
+fresnel_dielectric.dart, fresnel_conductor.dart, brdf_to_btdf.dart). The
+reference's up-to-8 dynamically-typed BxDF stack becomes six *fixed* lobe
+slots — diffuse/glossy/specular x reflection/transmission — whose per-ray
+parameters come from the material system; unused slots carry zero weight.
+Every lobe's f/pdf/sample is computed for ALL lanes and combined by masks,
+exactly reproducing BSDF.sample_f's lobe-choice, pdf-averaging and
+side-test semantics (bsdf.dart:53-133, Appendix A.11).
+
+Slots: 0=DIFF_R (Lambertian/OrenNayar), 1=DIFF_T, 2=GLOSS_R (Blinn
+Torrance-Sparrow / FresnelBlend), 3=GLOSS_T, 4=SPEC_R, 5=SPEC_T.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core import math as vm
+from .core import sampling as smp
+
+INV_PI = float(1.0 / np.pi)
+
+# slot indices
+DIFF_R, DIFF_T, GLOSS_R, GLOSS_T, SPEC_R, SPEC_T = range(6)
+N_SLOTS = 6
+
+# fresnel modes for glossy/specular reflection
+FR_NOOP = 0
+FR_DIELECTRIC = 1
+FR_CONDUCTOR = 2
+FR_BLEND = 3      # FresnelBlend (substrate) — glossy slot only
+
+# BxDF flag masks (bsdf.dart:23-31)
+REFLECTION = 1
+TRANSMISSION = 2
+DIFFUSE = 4
+GLOSSY = 8
+SPECULAR = 16
+ALL_TYPES = DIFFUSE | GLOSSY | SPECULAR
+ALL_REFLECTION = REFLECTION | ALL_TYPES
+ALL = REFLECTION | TRANSMISSION | ALL_TYPES
+
+SLOT_FLAGS = (
+    REFLECTION | DIFFUSE, TRANSMISSION | DIFFUSE,
+    REFLECTION | GLOSSY, TRANSMISSION | GLOSSY,
+    REFLECTION | SPECULAR, TRANSMISSION | SPECULAR,
+)
+
+
+class BSDFParams(NamedTuple):
+    """Per-ray lobe parameters (outputs of the material/texture system).
+
+    All (R, 3) or (R,) arrays. Zero weight disables a slot.
+    """
+    kd: jnp.ndarray          # DIFF_R weight
+    sigma: jnp.ndarray       # Oren-Nayar sigma in degrees=0 -> Lambertian
+    kd_t: jnp.ndarray        # DIFF_T weight
+    ks: jnp.ndarray          # GLOSS_R weight
+    exponent: jnp.ndarray    # Blinn exponent
+    gloss_fresnel: jnp.ndarray   # int32 FR_* for GLOSS_R
+    ks_t: jnp.ndarray        # GLOSS_T weight
+    kr: jnp.ndarray          # SPEC_R weight
+    spec_fresnel: jnp.ndarray    # int32 FR_* for SPEC_R
+    kt: jnp.ndarray          # SPEC_T weight
+    eta: jnp.ndarray         # dielectric ior (R,)
+    eta_c: jnp.ndarray       # conductor eta (R, 3)
+    k_c: jnp.ndarray         # conductor k (R, 3)
+
+
+def zero_params(r) -> BSDFParams:
+    z3 = jnp.zeros((r, 3), jnp.float32)
+    z1 = jnp.zeros((r,), jnp.float32)
+    zi = jnp.zeros((r,), jnp.int32)
+    return BSDFParams(kd=z3, sigma=z1, kd_t=z3, ks=z3,
+                      exponent=jnp.ones((r,), jnp.float32),
+                      gloss_fresnel=zi, ks_t=z3, kr=z3, spec_fresnel=zi,
+                      kt=z3, eta=jnp.ones((r,), jnp.float32), eta_c=z3,
+                      k_c=z3)
+
+
+class Frame(NamedTuple):
+    """Shading frame (nn, sn, tn) per ray (bsdf.dart constructor)."""
+    s: jnp.ndarray
+    t: jnp.ndarray
+    n: jnp.ndarray   # shading normal
+    ng: jnp.ndarray  # geometric normal
+
+    def to_local(self, w):
+        return jnp.stack([vm.dot(w, self.s), vm.dot(w, self.t),
+                          vm.dot(w, self.n)], axis=-1)
+
+    def to_world(self, w):
+        return (self.s * w[..., 0:1] + self.t * w[..., 1:2]
+                + self.n * w[..., 2:3])
+
+
+def make_frame(ns, dpdu, ng) -> Frame:
+    s = vm.normalize(dpdu - ns * vm.dot(ns, dpdu)[..., None])
+    degen = vm.length_sq(s) < 1e-12
+    s_fb, _ = vm.coordinate_system(ns)
+    s = jnp.where(degen[..., None], s_fb, s)
+    t = vm.cross(ns, s)
+    return Frame(s=s, t=t, n=ns, ng=ng)
+
+
+def cos_theta(w):
+    return w[..., 2]
+
+
+def abs_cos_theta(w):
+    return jnp.abs(w[..., 2])
+
+
+def same_hemisphere(w, wp):
+    return w[..., 2] * wp[..., 2] > 0.0
+
+
+# --- Fresnel (fresnel_dielectric.dart, fresnel_conductor.dart) -------------
+
+def fr_dielectric(cos_i, eta):
+    """Unpolarized dielectric Fresnel; handles both sides. cos_i signed.
+    Returns (R,) reflectance in [0, 1]."""
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, 1.0, eta)
+    et = jnp.where(entering, eta, 1.0)
+    ci = jnp.abs(jnp.clip(cos_i, -1.0, 1.0))
+    sint = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    tir = sint >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    r_parl = ((et * ci - ei * ct) /
+              jnp.maximum(et * ci + ei * ct, 1e-12))
+    r_perp = ((ei * ci - et * ct) /
+              jnp.maximum(ei * ci + et * ct, 1e-12))
+    f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, f)
+
+
+def fr_conductor(cos_i, eta, k):
+    """Conductor Fresnel (fresnel_conductor.dart), cos_i abs; eta/k (.., 3)."""
+    ci = jnp.abs(cos_i)[..., None]
+    tmp = (eta * eta + k * k) * ci * ci
+    r_parl2 = ((tmp - 2.0 * eta * ci + 1.0)
+               / jnp.maximum(tmp + 2.0 * eta * ci + 1.0, 1e-12))
+    tmp_f = eta * eta + k * k
+    r_perp2 = ((tmp_f - 2.0 * eta * ci + ci * ci)
+               / jnp.maximum(tmp_f + 2.0 * eta * ci + ci * ci, 1e-12))
+    return 0.5 * (r_parl2 + r_perp2)
+
+
+def schlick(cos_i, rs):
+    """Schlick Fresnel approximation (fresnel_blend.dart)."""
+    c = jnp.clip(1.0 - jnp.abs(cos_i), 0.0, 1.0)[..., None]
+    return rs + c ** 5 * (1.0 - rs)
+
+
+def _glossy_fresnel(p: BSDFParams, cos_h):
+    """F at the half-angle for the glossy slot, per mode (R, 3)."""
+    fd = fr_dielectric(cos_h, p.eta)[..., None] * jnp.ones((1, 3))
+    fc = fr_conductor(cos_h, p.eta_c, p.k_c)
+    one = jnp.ones_like(fd)
+    m = p.gloss_fresnel[..., None]
+    return jnp.where(m == FR_DIELECTRIC, fd,
+                     jnp.where(m == FR_CONDUCTOR, fc, one))
+
+
+# --- Lobe evaluation (all directions in shading-local space) ---------------
+
+def _oren_nayar_ab(sigma_deg):
+    s = jnp.radians(sigma_deg)
+    s2 = s * s
+    a = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    b = 0.45 * s2 / (s2 + 0.09)
+    return a, b
+
+
+def _diff_f(kd, sigma, wo, wi):
+    """Lambertian or Oren-Nayar (lambertian.dart, oren_nayar.dart)."""
+    a, b = _oren_nayar_ab(sigma)
+    sinto = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
+    sinti = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
+    # cos(phi_i - phi_o)
+    denom = jnp.maximum(sinti * sinto, 1e-8)
+    dcos = ((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom)
+    maxcos = jnp.where((sinti > 1e-4) & (sinto > 1e-4),
+                       jnp.maximum(dcos, 0.0), 0.0)
+    sinalpha = jnp.maximum(sinti, sinto)
+    tanbeta = jnp.minimum(sinti, sinto) / jnp.maximum(
+        jnp.minimum(abs_cos_theta(wi), abs_cos_theta(wo)), 1e-8)
+    on = a + b * maxcos * sinalpha * tanbeta
+    on = jnp.where(sigma > 0.0, on, 1.0)
+    return kd * (INV_PI * on)[..., None]
+
+
+def _blinn_d(exponent, cos_h):
+    return (exponent + 2.0) * (0.5 * INV_PI) * jnp.power(
+        jnp.maximum(jnp.abs(cos_h), 1e-8), exponent)
+
+
+def _ts_g(wo, wi, wh):
+    """Torrance-Sparrow geometric term (microfacet.dart G)."""
+    ndoth = abs_cos_theta(wh)
+    ndoto = abs_cos_theta(wo)
+    ndoti = abs_cos_theta(wi)
+    odoth = jnp.maximum(jnp.abs(vm.dot(wo, wh)), 1e-8)
+    return jnp.minimum(1.0, jnp.minimum(2.0 * ndoth * ndoto / odoth,
+                                        2.0 * ndoth * ndoti / odoth))
+
+
+def _gloss_f(p: BSDFParams, ks, wo, wi):
+    """Microfacet Torrance-Sparrow with Blinn D; or FresnelBlend.
+    (Glossy transmission is evaluated by the caller via the BRDFToBTDF
+    direction flip, brdf_to_btdf.dart.)"""
+    wh = wi + wo
+    wh_len = jnp.sqrt(jnp.maximum(vm.length_sq(wh), 1e-12))
+    wh = wh / wh_len[..., None]
+    wh = jnp.where((wh[..., 2] < 0)[..., None], -wh, wh)
+    cos_o = abs_cos_theta(wo)
+    cos_i = abs_cos_theta(wi)
+    d = _blinn_d(p.exponent, wh[..., 2])
+    g = _ts_g(wo, wi, wh)
+    f_h = _glossy_fresnel(p, vm.dot(wi, wh))
+    micro = ks * (d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-8))[..., None] \
+        * f_h
+    # FresnelBlend (substrate): kd (Rd) and ks (Rs) combined
+    # (fresnel_blend.dart f): diffuse term + specular term
+    pow5 = lambda x: x ** 5
+    diff = (28.0 / (23.0 * np.pi)) * p.kd * (1.0 - p.ks) \
+        * (1.0 - pow5(1.0 - 0.5 * cos_i))[..., None] \
+        * (1.0 - pow5(1.0 - 0.5 * cos_o))[..., None]
+    spec_blend = (d / jnp.maximum(
+        4.0 * jnp.abs(vm.dot(wi, wh)) * jnp.maximum(cos_i, cos_o),
+        1e-8))[..., None] * schlick(vm.dot(wi, wh), p.ks)
+    blend = diff + spec_blend
+    return jnp.where((p.gloss_fresnel == FR_BLEND)[..., None], blend, micro)
+
+
+def _blinn_sample_wh(exponent, u):
+    """Blinn half-vector sampling (blinn.dart sample_f)."""
+    ct = jnp.power(jnp.maximum(u[..., 0], 1e-9), 1.0 / (exponent + 1.0))
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    phi = u[..., 1] * 2.0 * np.pi
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+
+
+def _blinn_pdf(exponent, wo, wi):
+    wh = vm.normalize(wo + wi)
+    cos_h = abs_cos_theta(wh)
+    wodoth = jnp.abs(vm.dot(wo, wh))
+    pdf_h = ((exponent + 1.0) * jnp.power(jnp.maximum(cos_h, 1e-8), exponent)
+             / (2.0 * np.pi * jnp.maximum(4.0 * wodoth, 1e-8)))
+    return jnp.where(same_hemisphere(wo, wi), pdf_h, 0.0)
+
+
+def refract(wo, eta):
+    """Specular transmission direction in local frame
+    (specular_transmission.dart sample_f). Returns (wi, valid, ei, et)."""
+    entering = cos_theta(wo) > 0.0
+    ei = jnp.where(entering, 1.0, eta)
+    et = jnp.where(entering, eta, 1.0)
+    sini2 = jnp.maximum(0.0, 1.0 - cos_theta(wo) ** 2)
+    eta_r = ei / et
+    sint2 = eta_r * eta_r * sini2
+    valid = sint2 < 1.0
+    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint2))
+    cost = jnp.where(entering, -cost, cost)
+    wi = jnp.stack([-eta_r * wo[..., 0], -eta_r * wo[..., 1], cost], axis=-1)
+    return wi, valid, ei, et
+
+
+# --- combined BSDF interface -----------------------------------------------
+
+def _slot_weights(p: BSDFParams):
+    return (p.kd, p.kd_t, p.ks, p.ks_t, p.kr, p.kt)
+
+
+def _slot_active(p: BSDFParams, flags: int):
+    """(6, R) bool: slot has weight and matches requested flags."""
+    act = []
+    for s, w in enumerate(_slot_weights(p)):
+        fl = SLOT_FLAGS[s]
+        match = (fl & flags) == fl
+        has_w = jnp.any(w != 0.0, axis=-1) if match else jnp.zeros(
+            w.shape[:-1], bool)
+        # substrate uses kd in the glossy slot with ks possibly dark
+        if s == GLOSS_R and match:
+            has_w = has_w | ((p.gloss_fresnel == FR_BLEND)
+                             & jnp.any(p.kd != 0.0, axis=-1))
+        act.append(has_w)
+    return jnp.stack(act)      # (6, R)
+
+
+def f(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
+    """BSDF value, non-specular lobes only (bsdf.dart f :135-156).
+    Side test uses the GEOMETRIC normal (Appendix A.11)."""
+    wo = frame.to_local(wo_w)
+    wi = frame.to_local(wi_w)
+    reflect = (vm.dot(wi_w, frame.ng) * vm.dot(wo_w, frame.ng)) > 0.0
+    eff_flags = jnp.where(reflect, flags & ~TRANSMISSION,
+                          flags & ~REFLECTION)
+    out = jnp.zeros(wo.shape, jnp.float32)
+    act = _slot_active(p, flags)
+    # diffuse reflection
+    fl = SLOT_FLAGS[DIFF_R]
+    m = act[DIFF_R] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wi)
+    out += jnp.where(m[..., None], _diff_f(p.kd, p.sigma, wo, wi), 0.0)
+    # diffuse transmission (brdf_to_btdf: evaluate with wi flipped)
+    fl = SLOT_FLAGS[DIFF_T]
+    wif = wi * jnp.asarray([1.0, 1.0, -1.0])
+    m = act[DIFF_T] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wif)
+    out += jnp.where(m[..., None], _diff_f(p.kd_t, p.sigma, wo, wif), 0.0)
+    # glossy reflection
+    fl = SLOT_FLAGS[GLOSS_R]
+    m = act[GLOSS_R] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wi)
+    out += jnp.where(m[..., None], _gloss_f(p, p.ks, wo, wi), 0.0)
+    # glossy transmission
+    fl = SLOT_FLAGS[GLOSS_T]
+    m = act[GLOSS_T] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wif)
+    out += jnp.where(m[..., None], _gloss_f(p, p.ks_t, wo, wif), 0.0)
+    return out
+
+
+def pdf(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
+    """Average pdf over matching lobes (bsdf.dart pdf :158-176)."""
+    wo = frame.to_local(wo_w)
+    wi = frame.to_local(wi_w)
+    act = _slot_active(p, flags)
+    n_match = jnp.sum(act.astype(jnp.float32), axis=0)
+    total = jnp.zeros(wo.shape[:-1], jnp.float32)
+    # diffuse lobes: cosine-hemisphere pdf on their side
+    pd = smp.cosine_hemisphere_pdf(abs_cos_theta(wi))
+    total += jnp.where(act[DIFF_R] & same_hemisphere(wo, wi), pd, 0.0)
+    total += jnp.where(act[DIFF_T] & ~same_hemisphere(wo, wi), pd, 0.0)
+    pg = _blinn_pdf(p.exponent, wo, wi)
+    total += jnp.where(act[GLOSS_R], pg, 0.0)
+    wif = wi * jnp.asarray([1.0, 1.0, -1.0])
+    pgt = _blinn_pdf(p.exponent, wo, wif)
+    total += jnp.where(act[GLOSS_T], pgt, 0.0)
+    # specular lobes contribute 0 to pdf but count in the average
+    return total / jnp.maximum(n_match, 1.0)
+
+
+class BSDFSample(NamedTuple):
+    wi: jnp.ndarray       # world-space sampled direction
+    f: jnp.ndarray        # (R, 3) BSDF value (NOT divided by pdf)
+    pdf: jnp.ndarray      # (R,)
+    flags: jnp.ndarray    # (R,) int32 sampled-lobe flags
+    valid: jnp.ndarray    # (R,) bool
+
+
+def sample_f(p: BSDFParams, frame: Frame, wo_w, u2, uc,
+             flags: int = ALL) -> BSDFSample:
+    """Sample the stack (bsdf.dart sample_f :53-133).
+
+    Lobe chosen by uc * matchingComps; pdf averaged over matching lobes
+    (specular excluded from others' pdf); for non-specular choices f is
+    re-evaluated over all matching lobes with the geometric side test.
+    """
+    wo = frame.to_local(wo_w)
+    act = _slot_active(p, flags)                       # (6, R)
+    n_match = jnp.sum(act.astype(jnp.int32), axis=0)   # (R,)
+    # which = index (among matching) chosen
+    which = jnp.minimum((uc * n_match.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(n_match - 1, 0))
+    cum = jnp.cumsum(act.astype(jnp.int32), axis=0) - act.astype(jnp.int32)
+    # chosen_slot[r] = s where act[s] and cum[s] == which
+    chosen = jnp.argmax((act & (cum == which[None, :])), axis=0)  # (R,)
+
+    # candidate wi per slot family
+    wi_dr = smp.cosine_sample_hemisphere(u2)
+    wi_dr = jnp.where((wo[..., 2] < 0)[..., None], wi_dr * jnp.asarray(
+        [1.0, 1.0, -1.0]), wi_dr)
+    wi_dt = wi_dr * jnp.asarray([1.0, 1.0, -1.0])
+    wh = _blinn_sample_wh(p.exponent, u2)
+    wh = jnp.where((wo[..., 2] < 0)[..., None],
+                   wh * jnp.asarray([1.0, 1.0, -1.0]), wh)
+    wi_gr = -wo + wh * (2.0 * vm.dot(wo, wh))[..., None]
+    wi_gt = wi_gr * jnp.asarray([1.0, 1.0, -1.0])
+    wi_sr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    wi_st, st_valid, ei, et = refract(wo, p.eta)
+
+    wi = jnp.where((chosen == DIFF_R)[..., None], wi_dr,
+        jnp.where((chosen == DIFF_T)[..., None], wi_dt,
+        jnp.where((chosen == GLOSS_R)[..., None], wi_gr,
+        jnp.where((chosen == GLOSS_T)[..., None], wi_gt,
+        jnp.where((chosen == SPEC_R)[..., None], wi_sr, wi_st)))))
+
+    is_spec = (chosen == SPEC_R) | (chosen == SPEC_T)
+    wi_w = frame.to_world(wi)
+
+    # --- specular f/pdf (delta): f/|cos|, pdf = 1 (per chosen lobe) -------
+    acx = jnp.maximum(abs_cos_theta(wi), 1e-8)
+    fr_d = fr_dielectric(cos_theta(wo), p.eta)[..., None]
+    fr_c = fr_conductor(cos_theta(wo), p.eta_c, p.k_c)
+    fr_sel = jnp.where((p.spec_fresnel == FR_DIELECTRIC)[..., None], fr_d,
+                       jnp.where((p.spec_fresnel == FR_CONDUCTOR)[..., None],
+                                 fr_c, jnp.ones_like(fr_d)))
+    f_sr = p.kr * fr_sel / acx[..., None]
+    # transmission: (1-F) * kt * (ei^2/et^2) / |cos|
+    f_st = p.kt * (1.0 - fr_dielectric(cos_theta(wo), p.eta))[..., None] \
+        * ((ei * ei) / (et * et))[..., None] / acx[..., None]
+    f_st = jnp.where(st_valid[..., None], f_st, 0.0)
+    f_spec = jnp.where((chosen == SPEC_R)[..., None], f_sr, f_st)
+
+    # --- non-specular combined f and averaged pdf -------------------------
+    f_ns = f(p, frame, wo_w, wi_w, flags)
+    pdf_ns = pdf(p, frame, wo_w, wi_w, flags)
+
+    out_f = jnp.where(is_spec[..., None], f_spec, f_ns)
+    out_pdf = jnp.where(is_spec,
+                        1.0 / jnp.maximum(n_match.astype(jnp.float32), 1.0),
+                        pdf_ns)
+    valid = (n_match > 0) & (out_pdf > 0.0) \
+        & jnp.where(chosen == SPEC_T, st_valid, True)
+    slot_flags = jnp.asarray(SLOT_FLAGS, jnp.int32)[chosen]
+    return BSDFSample(wi=wi_w, f=out_f, pdf=out_pdf, flags=slot_flags,
+                      valid=valid)
+
+
+def slot_count(p: BSDFParams, flags: int = ALL):
+    return jnp.sum(_slot_active(p, flags).astype(jnp.int32), axis=0)

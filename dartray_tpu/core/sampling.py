@@ -35,6 +35,56 @@ def hash_combine(a, b):
     return hash_u32(a ^ (U32(0x9e3779b9) + (jnp.asarray(b, U32) << 6)))
 
 
+def index_permute(i: jnp.ndarray, n: int, key) -> jnp.ndarray:
+    """Deterministic pseudo-random permutation of [0, n) (Kensler's
+    cycle-walking hash bijection, as used for correlated multi-jitter).
+
+    Replaces the reference's LDShuffleScrambled1D/2D shuffles
+    (montecarlo.dart:524-556): scrambled (0,2) points at different dimensions
+    are XOR-related, so each dimension group must draw the sequence in an
+    independent order or joint (multi-dim) integrands converge to biased
+    values. Vectorized: the do-while cycle walk becomes a fixed re-mix loop.
+    """
+    if n <= 1:
+        return jnp.zeros_like(i)
+    w = n - 1
+    w |= w >> 1
+    w |= w >> 2
+    w |= w >> 4
+    w |= w >> 8
+    w |= w >> 16
+    wj = U32(w)
+    p = jnp.broadcast_to(jnp.asarray(key, U32), i.shape)
+    i = i.astype(U32) & wj
+
+    def mix(x):
+        x ^= p
+        x *= U32(0xe170893d)
+        x ^= p >> 16
+        x ^= (x & wj) >> 4
+        x ^= p >> 8
+        x *= U32(0x0929eb3f)
+        x ^= p >> 23
+        x ^= (x & wj) >> 1
+        x *= U32(1) | (p >> 27)
+        x *= U32(0x6935fa69)
+        x ^= (x & wj) >> 11
+        x *= U32(0x74dcb303)
+        x ^= (x & wj) >> 2
+        x *= U32(0x9e501cc3)
+        x ^= (x & wj) >> 2
+        x *= U32(0xc860a3df)
+        x &= wj
+        x ^= x >> 5
+        return x
+
+    x = mix(i)
+    for _ in range(7):  # cycle walk: re-mix lanes that landed >= n
+        x = jnp.where(x >= U32(n), mix(x), x)
+    x = jnp.where(x >= U32(n), i, x)  # astronomically rare fallback
+    return ((x + p) % U32(n)).astype(jnp.uint32)
+
+
 def uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 -> float32 in [0, 1). Uses the top 24 bits."""
     return jnp.minimum((bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24)),

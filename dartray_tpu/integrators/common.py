@@ -1,0 +1,140 @@
+"""Shared integrator machinery: MIS direct-lighting estimation over wavefronts.
+
+TPU-native replacement for lib/core/integrator.dart:32-303 —
+UniformSampleAllLights (:39-77), UniformSampleOneLight (:79-117),
+EstimateDirect (:119-185, the single most reused shading routine), and the
+specular-recursion helpers. All functions operate on whole wavefronts with
+per-ray masks; shadow rays are full any-hit traversal waves.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bx
+from .. import lights as lt_mod
+from ..accel import traverse
+from ..core import math as vm
+from ..core import sampling as smp
+from ..scene import types as st
+
+
+def shadow_ray(p, ng, n_side, wi, dist, eps):
+    """Offset shadow ray (VisibilityTester.setSegment semantics)."""
+    ng_f = vm.face_forward(ng, wi)
+    o = p + ng_f * eps[:, None]
+    return vm.Rays(o=o, d=wi,
+                   tmin=jnp.zeros_like(dist),
+                   tmax=dist * (1.0 - 1e-3) - eps,
+                   time=jnp.zeros_like(dist))
+
+
+def estimate_direct(scene, it, frame, params, wo, light_idx,
+                    u_light, uc_light, u_bsdf, uc_bsdf,
+                    flags=bx.ALL & ~bx.SPECULAR):
+    """MIS light+BSDF sampling toward one light (integrator.dart:119-185,
+    Appendix A.3). Returns (R, 3) direct radiance estimate."""
+    geom = scene.geometry
+    lt = scene.lights
+    p = it["p"]
+    eps = st.ray_epsilon(it["t"])
+    ns = frame.n
+
+    # ---- light-sampling term --------------------------------------------
+    ls = lt_mod.sample_li(lt, geom, light_idx, p, u_light, uc_light)
+    f_l = bx.f(params, frame, wo, ls.wi, flags)
+    cos_l = vm.absdot(ls.wi, ns)
+    usable = (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
+        & jnp.any(f_l != 0.0, axis=-1)
+    sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps)
+    occluded = traverse.intersect_p(geom.bvh_rows, geom.bvh_links, sray)
+    # delta lights: plain estimate; others: power heuristic vs bsdf pdf
+    bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
+    w_l = jnp.where(ls.is_delta, 1.0,
+                    smp.power_heuristic(1.0, ls.pdf, 1.0, bsdf_pdf))
+    contrib_l = f_l * ls.li * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))[:, None]
+    ld = jnp.where((usable & ~occluded)[:, None], contrib_l, 0.0)
+
+    # ---- BSDF-sampling term (non-delta lights only) ----------------------
+    bs = bx.sample_f(params, frame, wo, u_bsdf, uc_bsdf, flags)
+    cos_b = vm.absdot(bs.wi, ns)
+    sampled_specular = (bs.flags & bx.SPECULAR) != 0
+    b_usable = bs.valid & (bs.pdf > 0.0) & jnp.any(bs.f != 0.0, axis=-1) \
+        & ~ls.is_delta
+    # trace toward the light
+    ng_f = vm.face_forward(it["ng"], bs.wi)
+    bray = vm.Rays(o=p + ng_f * eps[:, None], d=bs.wi,
+                   tmin=jnp.zeros_like(eps),
+                   tmax=jnp.full_like(eps, lt_mod.INF_DIST),
+                   time=jnp.zeros_like(eps))
+    bh = traverse.intersect(geom.bvh_rows, geom.bvh_links, bray)
+    hit_prim = jnp.maximum(bh.prim, 0)
+    hit_light = jnp.where(bh.prim >= 0, geom.light_id[hit_prim], -1)
+    same_light = (hit_light >= 0) & (hit_light == light_idx)
+    # emitted radiance from the hit light point (facing test)
+    te1 = geom.e1[hit_prim]
+    te2 = geom.e2[hit_prim]
+    n_hit = vm.normalize(vm.cross(te1, te2))
+    cos_hit = vm.dot(n_hit, -bs.wi)
+    li_hit = jnp.where((same_light & (cos_hit > 0))[:, None],
+                       lt.intensity[jnp.maximum(hit_light, 0)], 0.0)
+    light_pdf_area = lt_mod.pdf_li_area(lt, light_idx, p, bs.wi, bh.t,
+                                        jnp.abs(cos_hit))
+    # escaped to the infinite light?
+    is_env = lt.kind[jnp.maximum(light_idx, 0)] == lt_mod.INFINITE
+    escaped = (bh.prim < 0) & is_env
+    li_env = lt_mod.env_le(lt, bs.wi) if lt.env_light_index >= 0 else \
+        jnp.zeros_like(li_hit)
+    env_pdf = lt_mod.env_pdf(lt, bs.wi) if lt.env_light_index >= 0 else \
+        jnp.zeros_like(bh.t)
+    li_b = jnp.where(escaped[:, None], li_env, li_hit)
+    light_pdf_b = jnp.where(escaped, env_pdf,
+                            jnp.where(same_light, light_pdf_area, 0.0))
+    got_light = escaped | same_light
+    w_b = jnp.where(sampled_specular, 1.0,
+                    smp.power_heuristic(1.0, bs.pdf, 1.0, light_pdf_b))
+    contrib_b = bs.f * li_b * (cos_b * w_b / jnp.maximum(bs.pdf, 1e-20))[:, None]
+    ld = ld + jnp.where((b_usable & got_light)[:, None], contrib_b, 0.0)
+    return ld
+
+
+def uniform_sample_one_light(scene, it, frame, params, wo, u_select,
+                             u_light, uc_light, u_bsdf, uc_bsdf,
+                             flags=bx.ALL & ~bx.SPECULAR):
+    """Pick one light uniformly, scale by nLights (integrator.dart:79-117)."""
+    n_lights = scene.lights.n
+    if n_lights == 0:
+        return jnp.zeros(it["p"].shape, jnp.float32)
+    light_idx = jnp.minimum((u_select * n_lights).astype(jnp.int32),
+                            n_lights - 1)
+    ld = estimate_direct(scene, it, frame, params, wo, light_idx,
+                         u_light, uc_light, u_bsdf, uc_bsdf, flags)
+    return ld * float(n_lights)
+
+
+def uniform_sample_all_lights(scene, it, frame, params, wo, sctx, dim0,
+                              n_samples_per_light=1,
+                              flags=bx.ALL & ~bx.SPECULAR):
+    """Loop over every light (integrator.dart:39-77), static python loop."""
+    from .. import samplers as smp_mod
+    n_lights = scene.lights.n
+    r = it["p"].shape[0]
+    total = jnp.zeros((r, 3), jnp.float32)
+    dim = dim0
+    for li in range(n_lights):
+        acc = jnp.zeros((r, 3), jnp.float32)
+        for s in range(n_samples_per_light):
+            u_l = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
+                                    sctx["s_idx"], dim)
+            uc_l = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
+                                     sctx["s_idx"], dim + 2)
+            u_b = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
+                                    sctx["s_idx"], dim + 3)
+            uc_b = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
+                                     sctx["s_idx"], dim + 5)
+            dim += 6
+            idx = jnp.full((r,), li, jnp.int32)
+            acc = acc + estimate_direct(scene, it, frame, params, wo, idx,
+                                        u_l, uc_l, u_b, uc_b, flags)
+        total = total + acc / float(n_samples_per_light)
+    return total

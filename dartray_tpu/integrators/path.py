@@ -1,0 +1,107 @@
+"""Path-tracing surface integrator (the headline benchmark integrator).
+
+TPU-native replacement for lib/surface_integrators/path_integrator.dart:26-151
+(Appendix A.4 semantics): iterative bounce loop; emitted light added only at
+bounce 0 or after a specular bounce; one-light NEE with MIS each bounce
+(UniformSampleOneLight x nLights); Russian roulette after bounce 3 with
+continueProb = min(0.5, throughput.luminance()); hard stop at maxdepth
+(default 5). The recursion becomes a static bounce loop over the wavefront
+with an active mask — SoA state is O(1) per ray (throughput/ray/flags).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bx
+from .. import lights as lt_mod
+from .. import materials as mat_mod
+from .. import samplers as smp_mod
+from ..accel import traverse
+from ..core import math as vm
+from ..core import spectrum as spec
+from ..scene import types as st
+from . import common
+
+SAMPLE_DEPTH = 3  # structured sample dims for first bounces (:124-131)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=[],
+         meta_fields=["max_depth", "rr_depth"])
+@dataclasses.dataclass
+class PathIntegrator:
+    max_depth: int = 5
+    rr_depth: int = 3
+
+
+def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
+    geom = scene.geometry
+    lt = scene.lights
+    r = rays.o.shape[0]
+    L = jnp.zeros((r, 3), jnp.float32)
+    throughput = jnp.ones((r, 3), jnp.float32)
+    active = jnp.ones((r,), bool)
+    specular_bounce = jnp.zeros((r,), bool)
+    cur = rays
+
+    for bounce in range(ig.max_depth + 1):
+        dim = 5 + bounce * 10
+        hits = traverse.intersect(geom.bvh_rows, geom.bvh_links, cur)
+        hit = hits.hit & active
+        add_emitted = (bounce == 0) | specular_bounce
+        # escaped rays: sum of light Le (env) when emission is countable
+        if lt is not None and lt.env_light_index >= 0:
+            L = L + jnp.where((active & ~hits.hit & add_emitted)[:, None],
+                              throughput * lt_mod.env_le(lt, cur.d), 0.0)
+        it = st.interaction(geom, cur, hits)
+        frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
+        if lt is not None:
+            le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
+            L = L + jnp.where((hit & add_emitted)[:, None],
+                              throughput * le, 0.0)
+        params = mat_mod.eval_params(scene.materials, it["mat_id"],
+                                     scene.textures, it)
+        wo = it["wo"]
+        # NEE: one light, MIS
+        if lt is not None and lt.n > 0:
+            sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
+                                             sctx["py"], sctx["s_idx"], d)
+            sd2 = lambda d: smp_mod.sample_2d(sctx["sampler"], sctx["px"],
+                                              sctx["py"], sctx["s_idx"], d)
+            ld = common.uniform_sample_one_light(
+                scene, it, frame, params, wo,
+                sd(dim), sd2(dim + 1), sd(dim + 3), sd2(dim + 4), sd(dim + 6))
+            L = L + jnp.where(hit[:, None], throughput * ld, 0.0)
+        if bounce == ig.max_depth:
+            break
+        # BSDF sampling for the next ray
+        u_b = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
+                                sctx["s_idx"], dim + 7)
+        uc_b = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
+                                 sctx["s_idx"], dim + 9)
+        bs = bx.sample_f(params, frame, wo, u_b, uc_b, flags=bx.ALL)
+        cos_s = vm.absdot(bs.wi, frame.n)
+        cont = hit & bs.valid & (bs.pdf > 0.0) & jnp.any(bs.f != 0.0, axis=-1)
+        new_tp = throughput * bs.f * (cos_s
+                                      / jnp.maximum(bs.pdf, 1e-20))[:, None]
+        # Russian roulette (path_integrator.dart:93-99)
+        if bounce > ig.rr_depth:
+            u_rr = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
+                                     sctx["s_idx"], dim + 8)
+            cprob = jnp.minimum(0.5, spec.luminance(new_tp))
+            survive = u_rr <= cprob
+            new_tp = new_tp / jnp.maximum(cprob, 1e-8)[:, None]
+            cont = cont & survive
+        throughput = jnp.where(cont[:, None], new_tp, throughput)
+        specular_bounce = (bs.flags & bx.SPECULAR) != 0
+        eps = st.ray_epsilon(it["t"])
+        ng_f = vm.face_forward(it["ng"], bs.wi)
+        cur = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
+                      tmin=jnp.zeros((r,), jnp.float32),
+                      tmax=jnp.full((r,), jnp.inf, jnp.float32),
+                      time=cur.time)
+        active = cont
+    return L

@@ -1,0 +1,208 @@
+"""Material table: every material compiled to per-lobe parameter rows.
+
+TPU-native replacement for lib/materials/ (matte_material.dart:38-66,
+plastic (84), glass (82), mirror (65), metal (116), shinymetal (100),
+substrate (85), translucent (116), uber (124), mix (60)). The reference
+builds a BxDF object stack per intersection; here each material is one row of
+the 6-slot BSDFParams layout (bsdf.py) and a wavefront's parameters are one
+row-gather. Texture-driven parameters override the constant rows via the
+texture system (textures.py): each parameter slot can carry a texture id
+(-1 = constant row value).
+
+Conductor spectra: metal.dart defaults to measured copper eta/k; we carry the
+RGB-projected copper values (public PBRT data projected through the CIE fit).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import bsdf
+from .bsdf import FR_NOOP, FR_DIELECTRIC, FR_CONDUCTOR, FR_BLEND
+
+# RGB-projected copper eta/k (metal.dart default spectra, CIE-weighted)
+COPPER_ETA = (0.2004, 0.9240, 1.1022)
+COPPER_K = (3.9129, 2.4528, 2.1421)
+
+# texture-slot indices into tex_ids rows (textures overriding params)
+TEX_KD, TEX_KS, TEX_KR, TEX_KT, TEX_SIGMA, TEX_ROUGH, TEX_OPACITY, TEX_BUMP \
+    = range(8)
+N_TEX_SLOTS = 8
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["kd", "sigma", "kd_t", "ks", "exponent",
+                      "gloss_fresnel", "ks_t", "kr", "spec_fresnel", "kt",
+                      "eta", "eta_c", "k_c", "opacity", "tex_ids"],
+         meta_fields=["n"])
+@dataclasses.dataclass
+class MaterialTable:
+    kd: jnp.ndarray          # (M, 3)
+    sigma: jnp.ndarray       # (M,)
+    kd_t: jnp.ndarray        # (M, 3)
+    ks: jnp.ndarray          # (M, 3)
+    exponent: jnp.ndarray    # (M,)
+    gloss_fresnel: jnp.ndarray  # (M,) int32
+    ks_t: jnp.ndarray        # (M, 3)
+    kr: jnp.ndarray          # (M, 3)
+    spec_fresnel: jnp.ndarray   # (M,) int32
+    kt: jnp.ndarray          # (M, 3)
+    eta: jnp.ndarray         # (M,)
+    eta_c: jnp.ndarray       # (M, 3)
+    k_c: jnp.ndarray         # (M, 3)
+    opacity: jnp.ndarray     # (M, 3)
+    tex_ids: jnp.ndarray     # (M, N_TEX_SLOTS) int32, -1 = constant
+    n: int
+
+
+def _row(kd=(0, 0, 0), sigma=0.0, kd_t=(0, 0, 0), ks=(0, 0, 0),
+         roughness=0.1, gloss_fresnel=FR_DIELECTRIC, ks_t=(0, 0, 0),
+         kr=(0, 0, 0), spec_fresnel=FR_NOOP, kt=(0, 0, 0), eta=1.5,
+         eta_c=COPPER_ETA, k_c=COPPER_K, opacity=(1, 1, 1), tex_ids=None):
+    exponent = 1.0 / max(float(roughness), 1e-4)  # rough -> Blinn exponent
+    t = np.full(N_TEX_SLOTS, -1, np.int32)
+    if tex_ids:
+        for k, v in tex_ids.items():
+            t[k] = v
+    return dict(kd=kd, sigma=sigma, kd_t=kd_t, ks=ks, exponent=exponent,
+                gloss_fresnel=gloss_fresnel, ks_t=ks_t, kr=kr,
+                spec_fresnel=spec_fresnel, kt=kt, eta=eta, eta_c=eta_c,
+                k_c=k_c, opacity=opacity, tex_ids=t)
+
+
+# --- builders (defaults match the reference Create() methods) --------------
+
+def matte(kd=(0.5, 0.5, 0.5), sigma=0.0, **tex):
+    """matte_material.dart:38-66."""
+    return _row(kd=kd, sigma=sigma, **tex)
+
+
+def plastic(kd=(0.25,) * 3, ks=(0.25,) * 3, roughness=0.1, **tex):
+    """plastic_material.dart: Lambertian + Blinn microfacet, Fresnel 1.5."""
+    return _row(kd=kd, ks=ks, roughness=roughness,
+                gloss_fresnel=FR_DIELECTRIC, eta=1.5, **tex)
+
+
+def mirror(kr=(0.9,) * 3, **tex):
+    """mirror_material.dart: specular reflection, no-op Fresnel."""
+    return _row(kr=kr, spec_fresnel=FR_NOOP, **tex)
+
+
+def glass(kr=(1.0,) * 3, kt=(1.0,) * 3, index=1.5, **tex):
+    """glass_material.dart: Fresnel-weighted reflection + transmission."""
+    return _row(kr=kr, kt=kt, eta=index, spec_fresnel=FR_DIELECTRIC, **tex)
+
+
+def metal(eta=COPPER_ETA, k=COPPER_K, roughness=0.01, **tex):
+    """metal_material.dart: conductor Blinn microfacet."""
+    return _row(ks=(1.0,) * 3, roughness=roughness,
+                gloss_fresnel=FR_CONDUCTOR, eta_c=eta, k_c=k, **tex)
+
+
+def shinymetal(ks=(1.0,) * 3, kr=(1.0,) * 3, roughness=0.1, **tex):
+    """shinymetal_material.dart: glossy + perfect specular, conductor-ish."""
+    return _row(ks=ks, kr=kr, roughness=roughness,
+                gloss_fresnel=FR_CONDUCTOR,
+                spec_fresnel=FR_CONDUCTOR, **tex)
+
+
+def substrate(kd=(0.5,) * 3, ks=(0.5,) * 3, roughness=0.1, **tex):
+    """substrate_material.dart: FresnelBlend (Ashikhmin-Shirley)."""
+    return _row(kd=kd, ks=ks, roughness=roughness, gloss_fresnel=FR_BLEND,
+                **tex)
+
+
+def translucent(kd=(0.25,) * 3, ks=(0.25,) * 3, roughness=0.1,
+                reflect=(0.5,) * 3, transmit=(0.5,) * 3, **tex):
+    """translucent_material.dart: refl/trans-weighted diffuse + glossy."""
+    r = np.asarray(reflect)
+    t = np.asarray(transmit)
+    return _row(kd=tuple(np.asarray(kd) * r), kd_t=tuple(np.asarray(kd) * t),
+                ks=tuple(np.asarray(ks) * r), ks_t=tuple(np.asarray(ks) * t),
+                roughness=roughness, eta=1.5, **tex)
+
+
+def uber(kd=(0.25,) * 3, ks=(0.25,) * 3, kr=(0.0,) * 3, kt=(0.0,) * 3,
+         roughness=0.1, index=1.5, opacity=(1.0,) * 3, **tex):
+    """uber_material.dart; opacity < 1 adds pass-through transmission."""
+    op = np.asarray(opacity, np.float64)
+    row = _row(kd=tuple(np.asarray(kd) * op), ks=tuple(np.asarray(ks) * op),
+               kr=tuple(np.asarray(kr) * op), roughness=roughness, eta=index,
+               spec_fresnel=FR_DIELECTRIC, opacity=tuple(op), **tex)
+    # opacity pass-through: (1-opacity) specular transmission with eta 1
+    # (uber_material.dart adds SpecularTransmission(1-op, 1, 1))
+    kt_eff = np.asarray(kt, np.float64) * op + (1.0 - op)
+    if (1.0 - op).max() > 0:
+        row["kt"] = tuple(kt_eff)
+        row["eta"] = 1.0 if (np.asarray(kt) == 0).all() else index
+    elif np.asarray(kt).max() > 0:
+        row["kt"] = tuple(np.asarray(kt) * op)
+    return row
+
+
+def mix_materials(m1: dict, m2: dict, amount=(0.5,) * 3):
+    """mix_material.dart: scaled combination (ScaledBxDF on both stacks).
+    Exact for same-lobe-type pairs; a documented approximation otherwise
+    (parameters lerped rather than stacking 12 lobes)."""
+    a = np.asarray(amount, np.float64)
+    out = {}
+    for key in m1:
+        v1 = np.asarray(m1[key], np.float64)
+        v2 = np.asarray(m2[key], np.float64)
+        if key in ("gloss_fresnel", "spec_fresnel"):
+            out[key] = int(m1[key]) if a.mean() >= 0.5 else int(m2[key])
+        elif key == "tex_ids":
+            out[key] = m1[key]
+        elif v1.shape == (3,):
+            out[key] = tuple(v1 * a + v2 * (1.0 - a))
+        else:
+            out[key] = float(v1 * a.mean() + v2 * (1.0 - a.mean()))
+    return out
+
+
+def build_table(rows: List[dict]) -> MaterialTable:
+    if not rows:
+        rows = [matte()]
+    def col(k, dt=np.float32):
+        return jnp.asarray(np.asarray([r[k] for r in rows], dt))
+    return MaterialTable(
+        kd=col("kd"), sigma=col("sigma"), kd_t=col("kd_t"), ks=col("ks"),
+        exponent=col("exponent"),
+        gloss_fresnel=col("gloss_fresnel", np.int32), ks_t=col("ks_t"),
+        kr=col("kr"), spec_fresnel=col("spec_fresnel", np.int32),
+        kt=col("kt"), eta=col("eta"), eta_c=col("eta_c"), k_c=col("k_c"),
+        opacity=col("opacity"), tex_ids=col("tex_ids", np.int32),
+        n=len(rows))
+
+
+def eval_params(table: MaterialTable, mat_id, textures=None,
+                it=None) -> bsdf.BSDFParams:
+    """Gather per-ray BSDFParams; texture overrides applied when a texture
+    system + interaction are provided (material.getBSDF texture evaluation,
+    e.g. matte_material.dart:42-66)."""
+    m = jnp.maximum(mat_id, 0)
+    p = bsdf.BSDFParams(
+        kd=table.kd[m], sigma=table.sigma[m], kd_t=table.kd_t[m],
+        ks=table.ks[m], exponent=table.exponent[m],
+        gloss_fresnel=table.gloss_fresnel[m], ks_t=table.ks_t[m],
+        kr=table.kr[m], spec_fresnel=table.spec_fresnel[m], kt=table.kt[m],
+        eta=table.eta[m], eta_c=table.eta_c[m], k_c=table.k_c[m])
+    if textures is not None and it is not None:
+        from . import textures as tex_mod
+        tid = table.tex_ids[m]
+        p = p._replace(
+            kd=tex_mod.eval_or(textures, tid[:, TEX_KD], it, p.kd),
+            ks=tex_mod.eval_or(textures, tid[:, TEX_KS], it, p.ks),
+            kr=tex_mod.eval_or(textures, tid[:, TEX_KR], it, p.kr),
+            kt=tex_mod.eval_or(textures, tid[:, TEX_KT], it, p.kt),
+            sigma=tex_mod.eval_or(textures, tid[:, TEX_SIGMA], it,
+                                  p.sigma[:, None])[:, 0],
+            exponent=1.0 / jnp.maximum(tex_mod.eval_or(
+                textures, tid[:, TEX_ROUGH], it,
+                (1.0 / jnp.maximum(p.exponent, 1e-4))[:, None])[:, 0], 1e-4))
+    return p

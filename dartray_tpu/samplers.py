@@ -80,12 +80,16 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
     if sampler.kind == LOWDISCREPANCY:
         scr = jnp.stack([_pixel_key(sampler, px, py, dim),
                          _pixel_key(sampler, px, py, dim + 1000)], axis=-1)
-        return smp.sample02(s_idx.astype(U32), scr)
+        # independent draw ORDER per dimension group (see
+        # sampling.index_permute — the LDShuffleScrambled analog)
+        sp = smp.index_permute(s_idx.astype(U32), sampler.spp,
+                               _pixel_key(sampler, px, py, dim + 2000))
+        return smp.sample02(sp, scr)
     if sampler.kind == STRATIFIED:
-        # jittered strata of the (nx, ny) grid in sample-index order, with a
-        # per-(pixel,dim) permutation decorrelating dimensions
+        # jittered strata of the (nx, ny) grid, stratum order shuffled
+        # independently per (pixel, dim) (StratifiedSampler + Shuffle)
         k = _pixel_key(sampler, px, py, dim)
-        perm_idx = (s_idx.astype(U32) + k) % U32(sampler.spp)
+        perm_idx = smp.index_permute(s_idx.astype(U32), sampler.spp, k)
         sx = (perm_idx % U32(sampler.nx)).astype(jnp.float32)
         sy = (perm_idx // U32(sampler.nx)).astype(jnp.float32)
         jx = smp.rng_uniform(k, s_idx.astype(U32) * U32(2))
@@ -114,10 +118,12 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
 def sample_1d(sampler: Sampler, px, py, s_idx, dim: int):
     if sampler.kind == LOWDISCREPANCY:
         scr = _pixel_key(sampler, px, py, dim)
-        return smp.van_der_corput(s_idx.astype(U32), scr)
+        sp = smp.index_permute(s_idx.astype(U32), sampler.spp,
+                               _pixel_key(sampler, px, py, dim + 2000))
+        return smp.van_der_corput(sp, scr)
     if sampler.kind == STRATIFIED:
         k = _pixel_key(sampler, px, py, dim)
-        perm_idx = (s_idx.astype(U32) + k) % U32(sampler.spp)
+        perm_idx = smp.index_permute(s_idx.astype(U32), sampler.spp, k)
         j = smp.rng_uniform(k, s_idx.astype(U32))
         if not sampler.jitter:
             j = jnp.full_like(j, 0.5)
