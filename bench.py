@@ -1,0 +1,148 @@
+"""Benchmark: path-tracing rays/s on one chip (driver config #3 shape).
+
+Scene: ~100k-triangle displaced-sphere mesh + glass sphere + matte floor +
+area light; path integrator (maxdepth 5, NEE + MIS), low-discrepancy sampler,
+512x512. Prints ONE JSON line:
+  {"metric": "rays/s/chip (path)", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 1e9}   (baseline target: 1 Grays/s per chip)
+
+Ray accounting: every bounce of every wave traces 3 full wavefronts
+(path extension closest-hit, NEE shadow any-hit, MIS BSDF closest-hit), so
+rays = R * 3 * (max_depth + 1) per wave — the number of traversal queries the
+chip actually executes (no compaction discount).
+
+NOTE: on the tunneled single-chip environment the FIRST device op can take
+~3 minutes (remote compile + claim handshake); warmup is untimed.
+"""
+import os
+import sys
+import json
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_bench_scene(n_tris_target=100_000):
+    from dartray_tpu.scene import build as sb, mesh as mesh_mod
+    from dartray_tpu import materials as mat_mod
+    from dartray_tpu.core import transform as tr
+
+    b = sb.SceneBuilder()
+    gray = b.add_material(mat_mod.matte(kd=(0.6, 0.6, 0.6)))
+    floor_m = b.add_material(mat_mod.matte(kd=(0.4, 0.4, 0.45)))
+    glass_m = b.add_material(mat_mod.glass())
+    dark = b.add_material(mat_mod.matte(kd=(0.0, 0.0, 0.0)))
+
+    # displaced sphere with ~n_tris_target triangles (bunny stand-in)
+    nu = int(np.sqrt(n_tris_target / 2 * (2.0)))  # nu = 2*nv grid
+    nv = max(nu // 2, 8)
+    m = mesh_mod.sphere(radius=1.0, nu=nu, nv=nv)
+    v = m.verts.astype(np.float64)
+    # multi-frequency displacement (keeps it non-trivial for the BVH)
+    disp = (0.08 * np.sin(7 * v[:, 0]) * np.cos(5 * v[:, 1])
+            + 0.05 * np.sin(11 * v[:, 2] + 3 * v[:, 0]))
+    n = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    m.verts = (v + n * disp[:, None]).astype(np.float32)
+    m.normals = None
+    m = m.transformed(np.asarray(tr.translate([-0.4, 1.05, 0.2]).m))
+    b.add_mesh(m, gray)
+
+    sph = mesh_mod.sphere(radius=0.5, nu=64, nv=32).transformed(
+        np.asarray(tr.translate([1.2, 0.5, -0.6]).m))
+    b.add_mesh(sph, glass_m)
+
+    b.add_mesh(mesh_mod.make_mesh(
+        [[-6, 0, -6], [6, 0, -6], [6, 0, 6], [-6, 0, 6]],
+        [[0, 1, 2], [0, 2, 3]]), floor_m)
+    # area light overhead (wound to emit downward)
+    b.add_mesh(mesh_mod.make_mesh(
+        [[-1, 4, -1], [1, 4, -1], [1, 4, 1], [-1, 4, 1]],
+        [[0, 1, 2], [0, 2, 3]]), dark, area_light_L=(12.0,) * 3)
+    return b.build()
+
+
+def main():
+    width = height = int(os.environ.get("BENCH_RES", "512"))
+    spp_budget = int(os.environ.get("BENCH_SPP", "64"))
+    max_seconds = float(os.environ.get("BENCH_SECONDS", "60"))
+    max_depth = 5
+
+    from dartray_tpu.scene import build as sb  # noqa: F401 (path setup)
+    from dartray_tpu.core import transform as tr
+    from dartray_tpu import cameras, samplers, film as film_mod
+    from dartray_tpu.integrators import path as pi
+    from dartray_tpu.renderers import sampler as rend
+    from functools import partial
+
+    t0 = time.time()
+    scene = build_bench_scene()
+    build_s = time.time() - t0
+
+    c2w = tr.look_at([0, 2.2, -5.0], [0, 0.9, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 42.0, width, height)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=spp_budget)
+    ig = pi.PathIntegrator(max_depth=max_depth)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+
+    film = film_mod.make_film(width, height)
+    px, py = rend.pixel_grid(width, height)
+    step = jax.jit(partial(rend.render_wave, li_fn=li, width=width,
+                           height=height, spp=spp_budget),
+                   donate_argnames=("film",))
+
+    # warmup/compile (untimed; includes the slow tunnel handshake)
+    t0 = time.time()
+    film = step(scene, cam, smp, film, px, py,
+                jnp.zeros(px.shape, jnp.int32))
+    jax.block_until_ready(film.pixels)
+    warmup_s = time.time() - t0
+
+    rays_per_wave = px.shape[0] * 3 * (max_depth + 1)
+    # timed waves
+    done = 1
+    t0 = time.time()
+    for s in range(1, spp_budget):
+        film = step(scene, cam, smp, film, px, py,
+                    jnp.full(px.shape, s, jnp.int32))
+        done += 1
+        if s % 4 == 0:
+            jax.block_until_ready(film.pixels)
+            if time.time() - t0 > max_seconds:
+                break
+    jax.block_until_ready(film.pixels)
+    dt = time.time() - t0
+    timed_waves = done - 1
+    rays_s = rays_per_wave * timed_waves / max(dt, 1e-9)
+
+    img = np.asarray(film_mod.to_rgb(film))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_render.png")
+    try:
+        from dartray_tpu.io import image as io_img
+        io_img.save(out_path, np.clip(img, 0, 1))
+    except Exception:
+        pass
+
+    result = {
+        "metric": "rays/s/chip (path, %dx%d, depth %d)" % (width, height,
+                                                           max_depth),
+        "value": round(rays_s),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_s / 1e9, 4),
+        "platform": jax.default_backend(),
+        "tris": scene.geometry.n_prims,
+        "waves": timed_waves,
+        "secs": round(dt, 2),
+        "bvh_build_s": round(build_s, 2),
+        "warmup_s": round(warmup_s, 2),
+        "img_mean": float(img.mean()),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,8 +35,8 @@ def pixel_grid(width, height, x0=0, y0=0):
 
 
 def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
-                li_fn: Callable, film: film_mod.Film, px, py, s_idx,
-                width: int, height: int, spp: int):
+                film: film_mod.Film, px, py, s_idx, *,
+                li_fn: Callable, width: int, height: int, spp: int):
     """One wave: (pixels x one sample index) -> film' (jit-friendly)."""
     cs = smp_mod.camera_samples(sampler, px, py, s_idx)
     diff_scale = 1.0 / np.sqrt(max(spp, 1))  # sampler_renderer.dart:166

@@ -1,0 +1,48 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY §4: DP/tile sharding testable without TPUs)."""
+import numpy as np
+import jax
+import pytest
+
+from dartray_tpu.scene import build as sb, mesh
+from dartray_tpu.core import transform as tr
+from dartray_tpu import cameras, samplers, materials as mat_mod, \
+    lights as lt_mod
+from dartray_tpu.integrators import path as pi
+from dartray_tpu.parallel import mesh as pmesh
+from dartray_tpu.renderers import sampler as rend
+
+
+def _scene():
+    b = sb.SceneBuilder()
+    m = b.add_material(mat_mod.matte(kd=(0.5,) * 3))
+    b.add_mesh(mesh.sphere(radius=1.0, nu=16, nv=8), m)
+    b.add_mesh(mesh.make_mesh([[-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                               [-5, -1.2, 5]], [[0, 1, 2], [0, 2, 3]]), m)
+    b.add_light(lt_mod.infinite_light(
+        np.ones((4, 8, 3), np.float32) * [[[1.0, 0.8, 0.6]]]))
+    return b.build()
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 2)])
+def test_sharded_matches_single(shape):
+    """N-device render must match the single-device render (same sample keys
+    -> identical up to f32 reduction order)."""
+    scene = _scene()
+    W = H = 16
+    c2w = tr.look_at([0, 0.5, -4], [0, 0, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 35.0, W, H)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=4)
+    ig = pi.PathIntegrator(max_depth=3)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+
+    ref = rend.render(scene, cam, smp, li, W, H)
+    m = pmesh.make_device_mesh(*shape)
+    img = pmesh.render_sharded(scene, cam, smp, li, W, H, m)
+    np.testing.assert_allclose(img, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_mesh_uses_all_devices():
+    assert len(jax.devices()) == 8
+    m = pmesh.make_device_mesh(4, 2)
+    assert m.shape == {"tiles": 4, "spp": 2}
