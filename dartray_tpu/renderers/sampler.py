@@ -49,9 +49,11 @@ def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
 
 
 def render(scene, camera, sampler, li_fn, width, height,
-           progress: Optional[Callable] = None):
+           progress: Optional[Callable] = None, filter_name="box",
+           filter_params=None):
     """Full render: returns (H, W, 3) linear RGB."""
-    film = film_mod.make_film(width, height)
+    film = film_mod.make_film(width, height, filter_name=filter_name,
+                              filter_params=filter_params)
     px, py = pixel_grid(width, height)
     spp = sampler.spp
 

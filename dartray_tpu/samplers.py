@@ -68,10 +68,11 @@ def make_sampler(kind: str, spp: int = 4, seed: int = 0, jitter=True) -> Sampler
     raise ValueError(f"unknown sampler {kind}")
 
 
-def _pixel_key(sampler: Sampler, px, py, dim: int):
-    """Per-(pixel, dimension) uint32 scramble key."""
-    h = smp.hash_u32(px.astype(U32) ^ (py.astype(U32) << 16)
-                     ^ (U32(0x9e3779b9) * U32(dim + 1)))
+def _pixel_key(sampler: Sampler, px, py, dim):
+    """Per-(pixel, dimension) uint32 scramble key. dim may be a python int
+    or a traced int scalar (e.g. a fori_loop index)."""
+    d = (jnp.asarray(dim).astype(U32) + U32(1)) * U32(0x9e3779b9)
+    h = smp.hash_u32(px.astype(U32) ^ (py.astype(U32) << 16) ^ d)
     return smp.hash_u32(h ^ sampler.seed)
 
 

@@ -1,0 +1,633 @@
+"""The PBRT API state machine: statement calls -> compiled scene + job config.
+
+Python replacement for lib/dartray/dartray.dart (1067 LoC): states
+UNINITIALIZED/OPTIONS/WORLD (:90-94), a 2-slot CTM stack for motion blur
+(MAX_TRANSFORMS=2, :85-88) with active-transform bits, named coordinate
+systems (:182-192), graphics-state push/pop (:271-302), texture/material/
+light/shape creation (:304-478), object instancing (:480-546), and worldEnd
+scene assembly (:549-635). RenderOptions defaults follow
+lib/dartray/render_options.dart:24-39.
+
+The output is a RenderJob: a CompiledScene plus camera/sampler/film/
+integrator configuration ready for the wavefront renderer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core import transform as tr
+from .. import lights as lt_mod
+from .. import materials as mat_mod
+from . import mesh as mesh_mod
+from . import paramset as ps
+from . import build as build_mod
+
+START_TRANSFORM_BITS = 1
+END_TRANSFORM_BITS = 2
+ALL_TRANSFORMS_BITS = 3
+
+
+def _np4(t: tr.Transform) -> np.ndarray:
+    return np.asarray(t.m, np.float64)
+
+
+@dataclasses.dataclass
+class GraphicsState:
+    """(lib/dartray/graphics_state.dart:23-49)"""
+    material: dict = None                 # current material row (builder dict)
+    named_materials: dict = None
+    area_light: Optional[tuple] = None    # (L_rgb, n_samples)
+    reverse_orientation: bool = False
+    float_textures: dict = None
+    spectrum_textures: dict = None
+
+    def copy(self):
+        return GraphicsState(
+            material=dict(self.material),
+            named_materials=self.named_materials,  # shared (pbrt semantics)
+            area_light=self.area_light,
+            reverse_orientation=self.reverse_orientation,
+            float_textures=dict(self.float_textures),
+            spectrum_textures=dict(self.spectrum_textures))
+
+
+@dataclasses.dataclass
+class RenderJob:
+    scene: object
+    camera: object
+    sampler: object
+    width: int
+    height: int
+    filter_name: str
+    filter_params: dict
+    surf_integrator: str
+    surf_params: ps.ParamSet
+    vol_integrator: str
+    vol_params: ps.ParamSet
+    renderer: str
+    renderer_params: ps.ParamSet
+    crop: tuple = (0.0, 1.0, 0.0, 1.0)
+
+
+class PbrtAPI:
+    """The DartRay/pbrt C-API object (dartray.dart:55-600)."""
+
+    def __init__(self, resolver=None, log=print):
+        self.resolver = resolver
+        self.log = log
+        self.state = "options"
+        # 2-slot CTM for motion blur (dartray.dart:85-88)
+        self.ctm = [tr.identity(), tr.identity()]
+        self.active = ALL_TRANSFORMS_BITS
+        self.coord_systems: Dict[str, list] = {}
+        self.transform_times = (0.0, 1.0)
+        # RenderOptions defaults (render_options.dart:24-39)
+        self.opts = {
+            "filter": ("box", ps.ParamSet()),
+            "film": ("image", ps.ParamSet()),
+            "sampler": ("lowdiscrepancy", ps.ParamSet()),
+            "accelerator": ("bvh", ps.ParamSet()),
+            "renderer": ("sampler", ps.ParamSet()),
+            "surf_integrator": ("directlighting", ps.ParamSet()),
+            "vol_integrator": ("emission", ps.ParamSet()),
+            "camera": ("perspective", ps.ParamSet()),
+            "camera_to_world": [tr.identity(), tr.identity()],
+        }
+        self.gs = GraphicsState(material=mat_mod.matte(),
+                                named_materials={}, float_textures={},
+                                spectrum_textures={})
+        self.gs_stack: List[GraphicsState] = []
+        self.transform_stack: List[tuple] = []
+        self.builder = build_mod.SceneBuilder()
+        self._mat_cache: Dict[str, int] = {}
+        self.volumes: List[tuple] = []
+        # object instancing (dartray.dart:480-546)
+        self.objects: Dict[str, list] = {}
+        self.current_object: Optional[str] = None
+
+    # --- transforms -------------------------------------------------------
+    def _apply(self, t: tr.Transform):
+        for i in range(2):
+            if self.active & (1 << i):
+                self.ctm[i] = self.ctm[i] * t
+
+    def identity(self):
+        for i in range(2):
+            if self.active & (1 << i):
+                self.ctm[i] = tr.identity()
+
+    def translate(self, x, y, z):
+        self._apply(tr.translate([x, y, z]))
+
+    def scale(self, x, y, z):
+        self._apply(tr.scale(x, y, z))
+
+    def rotate(self, angle, x, y, z):
+        self._apply(tr.rotate(angle, [x, y, z]))
+
+    def look_at(self, ex, ey, ez, lx, ly, lz, ux, uy, uz):
+        # LookAt in pbrt scene files gives world->camera; CTM gets its inverse
+        c2w = tr.look_at([ex, ey, ez], [lx, ly, lz], [ux, uy, uz])
+        self._apply(c2w.inverse())
+
+    def concat_transform(self, m16):
+        m = np.asarray(m16, np.float64).reshape(4, 4).T  # column-major input
+        self._apply(tr.from_matrix(m))
+
+    def set_transform(self, m16):
+        m = np.asarray(m16, np.float64).reshape(4, 4).T
+        for i in range(2):
+            if self.active & (1 << i):
+                self.ctm[i] = tr.from_matrix(m)
+
+    def coordinate_system(self, name):
+        self.coord_systems[name] = list(self.ctm)
+
+    def coord_sys_transform(self, name):
+        if name in self.coord_systems:
+            self.ctm = list(self.coord_systems[name])
+
+    def active_transform_all(self):
+        self.active = ALL_TRANSFORMS_BITS
+
+    def active_transform_start(self):
+        self.active = START_TRANSFORM_BITS
+
+    def active_transform_end(self):
+        self.active = END_TRANSFORM_BITS
+
+    def set_transform_times(self, start, end):
+        self.transform_times = (start, end)
+
+    # --- options ----------------------------------------------------------
+    def _option(self, key, name, params):
+        if self.state != "options":
+            self.log(f"warning: {key} outside option block")
+        self.opts[key] = (name, params)
+
+    def camera(self, name, params):
+        self._option("camera", name, params)
+        self.opts["camera_to_world"] = [t.inverse() for t in self.ctm]
+        self.coord_systems["camera"] = self.opts["camera_to_world"]
+
+    def film(self, name, params):
+        self._option("film", name, params)
+
+    def sampler(self, name, params):
+        self._option("sampler", name, params)
+
+    def pixel_filter(self, name, params):
+        self._option("filter", name, params)
+
+    def accelerator(self, name, params):
+        self._option("accelerator", name, params)
+
+    def renderer(self, name, params):
+        self._option("renderer", name, params)
+
+    def surface_integrator(self, name, params):
+        self._option("surf_integrator", name, params)
+
+    def volume_integrator(self, name, params):
+        self._option("vol_integrator", name, params)
+
+    def pixel_sampler(self, name, params):
+        self._option("pixel_sampler", name, params)
+
+    # --- world state ------------------------------------------------------
+    def world_begin(self):
+        self.state = "world"
+        self.ctm = [tr.identity(), tr.identity()]
+        self.coord_systems["world"] = list(self.ctm)
+
+    def attribute_begin(self):
+        self.gs_stack.append(self.gs.copy())
+        self.transform_stack.append((list(self.ctm), self.active))
+
+    def attribute_end(self):
+        self.gs = self.gs_stack.pop()
+        self.ctm, self.active = self.transform_stack.pop()
+        self.ctm = list(self.ctm)
+
+    def transform_begin(self):
+        self.transform_stack.append((list(self.ctm), self.active))
+
+    def transform_end(self):
+        self.ctm, self.active = self.transform_stack.pop()
+        self.ctm = list(self.ctm)
+
+    def reverse_orientation(self):
+        self.gs.reverse_orientation = not self.gs.reverse_orientation
+
+    # --- textures / materials --------------------------------------------
+    def texture(self, name, tex_class, tex_type, params):
+        """Texture "name" "float|color|spectrum" "type" (dartray.dart:304).
+        Stored as a spec; constant textures fold at material build."""
+        spec_ = {"type": tex_type, "params": params, "class": tex_class}
+        if tex_class == "float":
+            self.gs.float_textures[name] = spec_
+        else:
+            self.gs.spectrum_textures[name] = spec_
+
+    def material(self, name, params):
+        self.gs.material = self._make_material(name, params)
+
+    def make_named_material(self, name, params):
+        mat_type = params.find_one_string("type", "matte")
+        self.gs.named_materials[name] = self._make_material(mat_type, params)
+
+    def named_material(self, name):
+        if name in self.gs.named_materials:
+            self.gs.material = self.gs.named_materials[name]
+        else:
+            self.log(f"warning: unknown named material {name!r}")
+
+    def _resolve_tex(self, tp: ps.TextureParams, name, default,
+                     is_float=False):
+        """Resolve a parameter to a constant (folding constant/scale texture
+        graphs); non-constant textures return their average + a tex marker.
+        Full spatial texture evaluation is wired via the texture system."""
+        kind, v = (tp.get_float(name, default) if is_float
+                   else tp.get_spectrum(name, default))
+        if kind == "const":
+            return v, None
+        texes = tp.float_textures if is_float else tp.spectrum_textures
+        spec_ = texes.get(v)
+        if spec_ is None:
+            self.log(f"warning: unknown texture {v!r}")
+            return default, None
+        return self._fold_texture(spec_, texes, default), v
+
+    def _fold_texture(self, spec_, texes, default):
+        t = spec_["type"]
+        p = spec_["params"]
+        if t == "constant":
+            return p.find_one_spectrum("value", (1, 1, 1)) \
+                if spec_["class"] != "float" else p.find_one_float("value", 1.0)
+        if t == "scale":
+            t1 = p.find_one_spectrum("tex1", (1, 1, 1))
+            t2 = p.find_one_spectrum("tex2", (1, 1, 1))
+            return np.asarray(t1) * np.asarray(t2)
+        if t in ("checkerboard", "dots"):
+            t1 = p.find_one_spectrum("tex1", (1, 1, 1))
+            t2 = p.find_one_spectrum("tex2", (0, 0, 0))
+            return 0.5 * (np.asarray(t1) + np.asarray(t2))
+        return default
+
+    def _make_material(self, name, geom_params, mat_params=None) -> dict:
+        """Material factory (dartray.dart:780-837 -> materials.py rows)."""
+        tp = ps.TextureParams(geom_params, mat_params or ps.ParamSet(),
+                              self.gs.float_textures,
+                              self.gs.spectrum_textures)
+        tex_ids = {}
+
+        def spec3(n, d):
+            v, tex = self._resolve_tex(tp, n, np.asarray(d, np.float64))
+            return tuple(np.asarray(v, np.float64))
+
+        def f1(n, d):
+            v, tex = self._resolve_tex(tp, n, d, is_float=True)
+            return float(v)
+
+        if name == "matte":
+            return mat_mod.matte(kd=spec3("Kd", (0.5,) * 3),
+                                 sigma=f1("sigma", 0.0))
+        if name == "plastic":
+            return mat_mod.plastic(kd=spec3("Kd", (0.25,) * 3),
+                                   ks=spec3("Ks", (0.25,) * 3),
+                                   roughness=f1("roughness", 0.1))
+        if name == "mirror":
+            return mat_mod.mirror(kr=spec3("Kr", (0.9,) * 3))
+        if name == "glass":
+            return mat_mod.glass(kr=spec3("Kr", (1.0,) * 3),
+                                 kt=spec3("Kt", (1.0,) * 3),
+                                 index=f1("index", 1.5))
+        if name == "metal":
+            return mat_mod.metal(eta=spec3("eta", mat_mod.COPPER_ETA),
+                                 k=spec3("k", mat_mod.COPPER_K),
+                                 roughness=f1("roughness", 0.01))
+        if name == "shinymetal":
+            return mat_mod.shinymetal(ks=spec3("Ks", (1.0,) * 3),
+                                      kr=spec3("Kr", (1.0,) * 3),
+                                      roughness=f1("roughness", 0.1))
+        if name == "substrate":
+            return mat_mod.substrate(kd=spec3("Kd", (0.5,) * 3),
+                                     ks=spec3("Ks", (0.5,) * 3),
+                                     roughness=f1("uroughness", 0.1))
+        if name == "translucent":
+            return mat_mod.translucent(
+                kd=spec3("Kd", (0.25,) * 3), ks=spec3("Ks", (0.25,) * 3),
+                roughness=f1("roughness", 0.1),
+                reflect=spec3("reflect", (0.5,) * 3),
+                transmit=spec3("transmit", (0.5,) * 3))
+        if name == "uber":
+            return mat_mod.uber(kd=spec3("Kd", (0.25,) * 3),
+                                ks=spec3("Ks", (0.25,) * 3),
+                                kr=spec3("Kr", (0.0,) * 3),
+                                kt=spec3("Kt", (0.0,) * 3),
+                                roughness=f1("roughness", 0.1),
+                                index=f1("index", 1.5),
+                                opacity=spec3("opacity", (1.0,) * 3))
+        if name == "mix":
+            m1 = self.gs.named_materials.get(
+                geom_params.find_one_string("namedmaterial1", ""))
+            m2 = self.gs.named_materials.get(
+                geom_params.find_one_string("namedmaterial2", ""))
+            amt = spec3("amount", (0.5,) * 3)
+            if m1 and m2:
+                return mat_mod.mix_materials(m1, m2, amt)
+            self.log("warning: mix material missing named materials")
+            return mat_mod.matte()
+        if name in ("measured", "subsurface", "kdsubsurface"):
+            self.log(f"note: material {name!r} approximated (pending "
+                     "measured-BRDF/BSSRDF support)")
+            return mat_mod.matte(kd=(0.5,) * 3)
+        self.log(f"warning: unknown material {name!r}; using matte")
+        return mat_mod.matte()
+
+    # --- lights -----------------------------------------------------------
+    def light_source(self, name, params):
+        l2w = self.ctm[0]
+        w2l = np.asarray(l2w.m_inv, np.float64)
+        scale_ = params.find_one_spectrum("scale", (1, 1, 1))
+        if name == "point":
+            i = params.find_one_spectrum("I", (1, 1, 1)) * scale_
+            frm = params.find_one_point("from", (0, 0, 0))
+            p = l2w.xform_point(np.asarray(frm, np.float32))
+            self.builder.add_light(lt_mod.point_light(np.asarray(p), tuple(i)))
+        elif name == "spot":
+            i = params.find_one_spectrum("I", (1, 1, 1)) * scale_
+            frm = params.find_one_point("from", (0, 0, 0))
+            to = params.find_one_point("to", (0, 0, 1))
+            cone = params.find_one_float("coneangle", 30.0)
+            delta = params.find_one_float("conedeltaangle", 5.0)
+            # build light-to-world from from/to dir (spot_light.dart Create)
+            p_w = np.asarray(l2w.xform_point(np.asarray(frm, np.float32)))
+            to_w = np.asarray(l2w.xform_point(np.asarray(to, np.float32)))
+            d = to_w - p_w
+            d = d / max(np.linalg.norm(d), 1e-12)
+            du, dv = _coord_sys(d)
+            l2w_m = np.eye(4)
+            l2w_m[:3, 0] = du
+            l2w_m[:3, 1] = dv
+            l2w_m[:3, 2] = d
+            l2w_m[:3, 3] = p_w
+            self.builder.add_light(lt_mod.spot_light(
+                tuple(p_w), np.linalg.inv(l2w_m), tuple(i), cone, delta))
+        elif name == "distant":
+            L = params.find_one_spectrum("L", (1, 1, 1)) * scale_
+            frm = params.find_one_point("from", (0, 0, 0))
+            to = params.find_one_point("to", (0, 0, 1))
+            frm_w = np.asarray(l2w.xform_point(np.asarray(frm, np.float32)))
+            to_w = np.asarray(l2w.xform_point(np.asarray(to, np.float32)))
+            self.builder.add_light(lt_mod.distant_light(frm_w - to_w,
+                                                        tuple(L)))
+        elif name == "infinite":
+            L = params.find_one_spectrum("L", (1, 1, 1)) * scale_
+            mapname = params.find_one_string("mapname", "")
+            env = None
+            if mapname and self.resolver is not None:
+                from ..io import image as io_img
+                try:
+                    env = io_img.load(self.resolver(mapname, binary=True),
+                                      mapname)
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"warning: envmap {mapname!r} load failed: {e}")
+            if env is None:
+                env = np.ones((16, 32, 3), np.float32)
+            self.builder.add_light(lt_mod.infinite_light(
+                env, w2l=np.asarray(l2w.m_inv, np.float64), L_scale=tuple(L)))
+        elif name in ("projection", "goniometric"):
+            i = params.find_one_spectrum("I", (1, 1, 1)) * scale_
+            p = np.asarray(l2w.xform_point(np.zeros(3, np.float32)))
+            if name == "projection":
+                fov = params.find_one_float("fov", 45.0)
+                self.builder.add_light(lt_mod.projection_light(
+                    tuple(p), w2l, tuple(i), fov))
+            else:
+                self.builder.add_light(lt_mod.goniometric_light(
+                    tuple(p), w2l, tuple(i)))
+        else:
+            self.log(f"warning: unknown light {name!r}")
+
+    def area_light_source(self, name, params):
+        L = params.find_one_spectrum("L", (1, 1, 1))
+        scale_ = params.find_one_spectrum("scale", (1, 1, 1))
+        ns = params.find_one_int("nsamples", 1)
+        self.gs.area_light = (tuple(np.asarray(L) * np.asarray(scale_)), ns)
+
+    # --- shapes -----------------------------------------------------------
+    def shape(self, name, params):
+        m = self._make_shape(name, params)
+        if m is None:
+            return
+        o2w = _np4(self.ctm[0])
+        if self.gs.reverse_orientation:
+            m = mesh_mod.TriangleMesh(m.verts, m.faces[:, [0, 2, 1]].copy(),
+                                      None if m.normals is None else -m.normals,
+                                      m.uvs)
+        m = m.transformed(o2w)
+        if self.current_object is not None:
+            self.objects[self.current_object].append(
+                (m, dict(self.gs.material), self.gs.area_light))
+            return
+        mat_id = self._material_id(self.gs.material)
+        if self.gs.area_light is not None:
+            L, ns = self.gs.area_light
+            self.builder.add_mesh(m, mat_id, area_light_L=L, n_samples=ns)
+        else:
+            self.builder.add_mesh(m, mat_id)
+
+    def _material_id(self, row: dict) -> int:
+        key = repr(sorted((k, str(v)) for k, v in row.items()))
+        if key not in self._mat_cache:
+            self._mat_cache[key] = self.builder.add_material(row)
+        return self._mat_cache[key]
+
+    def _make_shape(self, name, p: ps.ParamSet):
+        if name == "sphere":
+            return mesh_mod.sphere(
+                radius=p.find_one_float("radius", 1.0),
+                zmin=p.find_one_float("zmin", -p.find_one_float("radius", 1.0)),
+                zmax=p.find_one_float("zmax", p.find_one_float("radius", 1.0)),
+                phi_max_deg=p.find_one_float("phimax", 360.0))
+        if name == "cylinder":
+            return mesh_mod.cylinder(
+                radius=p.find_one_float("radius", 1.0),
+                zmin=p.find_one_float("zmin", -1.0),
+                zmax=p.find_one_float("zmax", 1.0),
+                phi_max_deg=p.find_one_float("phimax", 360.0))
+        if name == "disk":
+            return mesh_mod.disk(
+                height=p.find_one_float("height", 0.0),
+                radius=p.find_one_float("radius", 1.0),
+                inner_radius=p.find_one_float("innerradius", 0.0),
+                phi_max_deg=p.find_one_float("phimax", 360.0))
+        if name == "cone":
+            return mesh_mod.cone(radius=p.find_one_float("radius", 1.0),
+                                 height=p.find_one_float("height", 1.0),
+                                 phi_max_deg=p.find_one_float("phimax", 360.0))
+        if name == "paraboloid":
+            return mesh_mod.paraboloid(
+                radius=p.find_one_float("radius", 1.0),
+                zmin=p.find_one_float("zmin", 0.0),
+                zmax=p.find_one_float("zmax", 1.0),
+                phi_max_deg=p.find_one_float("phimax", 360.0))
+        if name == "hyperboloid":
+            return mesh_mod.hyperboloid(
+                p1=tuple(p.find_one_point("p1", (0, 0, 0))),
+                p2=tuple(p.find_one_point("p2", (1, 1, 1))),
+                phi_max_deg=p.find_one_float("phimax", 360.0))
+        if name == "trianglemesh":
+            idx = p.find_ints("indices")
+            pts = p.find_points("P")
+            if idx is None or pts is None:
+                self.log("warning: trianglemesh missing indices/P")
+                return None
+            normals = p.find_points("N")
+            uv = p.find_uvs("uv")
+            if uv is None:
+                uv = p.find_uvs("st")
+            return mesh_mod.make_mesh(pts, idx.reshape(-1, 3), normals, uv)
+        if name == "heightfield":
+            nu = p.find_one_int("nu", 2)
+            nv = p.find_one_int("nv", 2)
+            z = p.find_floats("Pz")
+            if z is None:
+                return None
+            return mesh_mod.heightfield(nu, nv, z)
+        if name == "loopsubdiv":
+            idx = p.find_ints("indices")
+            pts = p.find_points("P")
+            n = p.find_one_int("nlevels", 3)
+            if idx is None or pts is None:
+                return None
+            base = mesh_mod.make_mesh(pts, idx.reshape(-1, 3))
+            return mesh_mod.loop_subdivide(base, n)
+        if name == "nurbs":
+            self.log("note: nurbs tessellation pending; skipping shape")
+            return None
+        self.log(f"warning: unknown shape {name!r}")
+        return None
+
+    # --- object instancing (dartray.dart:480-546) -------------------------
+    def object_begin(self, name):
+        self.attribute_begin()
+        self.objects[name] = []
+        self.current_object = name
+
+    def object_end(self):
+        self.current_object = None
+        self.attribute_end()
+
+    def object_instance(self, name):
+        if name not in self.objects:
+            self.log(f"warning: unknown object {name!r}")
+            return
+        o2w = _np4(self.ctm[0])
+        for m, mat_row, area_l in self.objects[name]:
+            mi = self._material_id(mat_row)
+            mm = m.transformed(o2w)
+            if area_l is not None:
+                self.builder.add_mesh(mm, mi, area_light_L=area_l[0],
+                                      n_samples=area_l[1])
+            else:
+                self.builder.add_mesh(mm, mi)
+
+    # --- volumes ----------------------------------------------------------
+    def volume(self, name, params):
+        self.volumes.append((name, params, _np4(self.ctm[0])))
+
+    # --- worldEnd: assemble (dartray.dart:549-635) ------------------------
+    def world_end(self) -> RenderJob:
+        from .. import cameras as cam_mod
+        from .. import samplers as smp_mod
+
+        film_name, film_p = self.opts["film"]
+        width = film_p.find_one_int("xresolution", 640)
+        height = film_p.find_one_int("yresolution", 480)
+        crop = film_p.find_floats("cropwindow")
+        crop = tuple(crop) if crop is not None else (0.0, 1.0, 0.0, 1.0)
+
+        cam_name, cam_p = self.opts["camera"]
+        c2w_t = self.opts["camera_to_world"][0]
+        shutter_open = cam_p.find_one_float("shutteropen", 0.0)
+        shutter_close = cam_p.find_one_float("shutterclose", 1.0)
+        animated = None
+        c2w0, c2w1 = self.opts["camera_to_world"]
+        if not np.allclose(np.asarray(c2w0.m), np.asarray(c2w1.m)):
+            animated = tr.animated(c2w0, c2w1, shutter_open, shutter_close)
+        common = dict(lens_radius=cam_p.find_one_float("lensradius", 0.0),
+                      focal_distance=cam_p.find_one_float("focaldistance",
+                                                          1e30),
+                      shutter_open=shutter_open, shutter_close=shutter_close,
+                      animated=animated)
+        sw = cam_p.find_floats("screenwindow")
+        if sw is not None:
+            common["screen_window"] = tuple(sw)
+        if cam_name == "perspective":
+            camera = cam_mod.perspective(
+                c2w_t, cam_p.find_one_float("fov", 60.0), width, height,
+                **common)
+        elif cam_name == "orthographic":
+            camera = cam_mod.orthographic(c2w_t, width, height, **common)
+        elif cam_name == "environment":
+            camera = cam_mod.environment(c2w_t, width, height,
+                                         shutter_open=shutter_open,
+                                         shutter_close=shutter_close,
+                                         animated=animated)
+        else:
+            self.log(f"warning: unknown camera {cam_name!r}; perspective")
+            camera = cam_mod.perspective(c2w_t, 60.0, width, height, **common)
+
+        smp_name, smp_p = self.opts["sampler"]
+        spp = smp_p.find_one_int("pixelsamples", 4)
+        if smp_name == "stratified":
+            xs = smp_p.find_one_int("xsamples", 2)
+            ys = smp_p.find_one_int("ysamples", 2)
+            spp = xs * ys
+        sampler = smp_mod.make_sampler(
+            smp_name if smp_name in ("lowdiscrepancy", "02sequence",
+                                     "stratified", "random", "halton",
+                                     "bestcandidate") else "lowdiscrepancy",
+            spp=spp,
+            jitter=smp_p.find_one_bool("jitter", True))
+
+        filt_name, filt_p = self.opts["filter"]
+        filt_params = {}
+        for k in ("xwidth", "ywidth", "alpha", "B", "C", "tau"):
+            if k in filt_p.items:
+                filt_params[k] = filt_p.find_one_float(k)
+
+        # volumes
+        if self.volumes:
+            from .. import volumes as vol_mod
+            self.builder.volume = vol_mod.build_volume(self.volumes)
+
+        accel_name, accel_p = self.opts["accelerator"]
+        split = accel_p.find_one_string("splitmethod", "sah")
+        scene = self.builder.build(split_method=split)
+        si_name, si_p = self.opts["surf_integrator"]
+        vi_name, vi_p = self.opts["vol_integrator"]
+        r_name, r_p = self.opts["renderer"]
+        self.state = "options"
+        return RenderJob(scene=scene, camera=camera, sampler=sampler,
+                         width=width, height=height, filter_name=filt_name,
+                         filter_params=filt_params,
+                         surf_integrator=si_name, surf_params=si_p,
+                         vol_integrator=vi_name, vol_params=vi_p,
+                         renderer=r_name, renderer_params=r_p, crop=crop)
+
+
+def _coord_sys(d):
+    if abs(d[0]) > abs(d[1]):
+        inv = 1.0 / np.sqrt(d[0] ** 2 + d[2] ** 2)
+        du = np.array([-d[2] * inv, 0.0, d[0] * inv])
+    else:
+        inv = 1.0 / np.sqrt(d[1] ** 2 + d[2] ** 2)
+        du = np.array([0.0, d[2] * inv, -d[1] * inv])
+    dv = np.cross(d, du)
+    return du, dv
