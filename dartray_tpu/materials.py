@@ -39,7 +39,7 @@ N_TEX_SLOTS = 8
          data_fields=["kd", "sigma", "kd_t", "ks", "exponent",
                       "gloss_fresnel", "ks_t", "kr", "spec_fresnel", "kt",
                       "eta", "eta_c", "k_c", "opacity", "tex_ids"],
-         meta_fields=["n"])
+         meta_fields=["n", "used_tex_slots"])
 @dataclasses.dataclass
 class MaterialTable:
     kd: jnp.ndarray          # (M, 3)
@@ -58,6 +58,7 @@ class MaterialTable:
     opacity: jnp.ndarray     # (M, 3)
     tex_ids: jnp.ndarray     # (M, N_TEX_SLOTS) int32, -1 = constant
     n: int
+    used_tex_slots: tuple = ()  # static: slots any material textures
 
 
 def _row(kd=(0, 0, 0), sigma=0.0, kd_t=(0, 0, 0), ks=(0, 0, 0),
@@ -177,7 +178,10 @@ def build_table(rows: List[dict]) -> MaterialTable:
         kr=col("kr"), spec_fresnel=col("spec_fresnel", np.int32),
         kt=col("kt"), eta=col("eta"), eta_c=col("eta_c"), k_c=col("k_c"),
         opacity=col("opacity"), tex_ids=col("tex_ids", np.int32),
-        n=len(rows))
+        n=len(rows),
+        used_tex_slots=tuple(sorted({
+            s for r in rows for s in range(N_TEX_SLOTS)
+            if r["tex_ids"][s] >= 0})))
 
 
 def eval_params(table: MaterialTable, mat_id, textures=None,
@@ -192,17 +196,25 @@ def eval_params(table: MaterialTable, mat_id, textures=None,
         gloss_fresnel=table.gloss_fresnel[m], ks_t=table.ks_t[m],
         kr=table.kr[m], spec_fresnel=table.spec_fresnel[m], kt=table.kt[m],
         eta=table.eta[m], eta_c=table.eta_c[m], k_c=table.k_c[m])
-    if textures is not None and it is not None:
+    used = table.used_tex_slots
+    if textures is not None and it is not None and used:
         from . import textures as tex_mod
         tid = table.tex_ids[m]
-        p = p._replace(
-            kd=tex_mod.eval_or(textures, tid[:, TEX_KD], it, p.kd),
-            ks=tex_mod.eval_or(textures, tid[:, TEX_KS], it, p.ks),
-            kr=tex_mod.eval_or(textures, tid[:, TEX_KR], it, p.kr),
-            kt=tex_mod.eval_or(textures, tid[:, TEX_KT], it, p.kt),
-            sigma=tex_mod.eval_or(textures, tid[:, TEX_SIGMA], it,
-                                  p.sigma[:, None])[:, 0],
-            exponent=1.0 / jnp.maximum(tex_mod.eval_or(
+        upd = {}
+        if TEX_KD in used:
+            upd["kd"] = tex_mod.eval_or(textures, tid[:, TEX_KD], it, p.kd)
+        if TEX_KS in used:
+            upd["ks"] = tex_mod.eval_or(textures, tid[:, TEX_KS], it, p.ks)
+        if TEX_KR in used:
+            upd["kr"] = tex_mod.eval_or(textures, tid[:, TEX_KR], it, p.kr)
+        if TEX_KT in used:
+            upd["kt"] = tex_mod.eval_or(textures, tid[:, TEX_KT], it, p.kt)
+        if TEX_SIGMA in used:
+            upd["sigma"] = tex_mod.eval_or(
+                textures, tid[:, TEX_SIGMA], it, p.sigma[:, None])[:, 0]
+        if TEX_ROUGH in used:
+            upd["exponent"] = 1.0 / jnp.maximum(tex_mod.eval_or(
                 textures, tid[:, TEX_ROUGH], it,
-                (1.0 / jnp.maximum(p.exponent, 1e-4))[:, None])[:, 0], 1e-4))
+                (1.0 / jnp.maximum(p.exponent, 1e-4))[:, None])[:, 0], 1e-4)
+        p = p._replace(**upd)
     return p

@@ -99,6 +99,9 @@ class PbrtAPI:
         self.gs = GraphicsState(material=mat_mod.matte(),
                                 named_materials={}, float_textures={},
                                 spectrum_textures={})
+        from .. import textures as tex_mod
+        self.tex_builder = tex_mod.TextureBuilder()
+        self.tex_ids: Dict[str, int] = {}
         self.gs_stack: List[GraphicsState] = []
         self.transform_stack: List[tuple] = []
         self.builder = build_mod.SceneBuilder()
@@ -225,12 +228,107 @@ class PbrtAPI:
     # --- textures / materials --------------------------------------------
     def texture(self, name, tex_class, tex_type, params):
         """Texture "name" "float|color|spectrum" "type" (dartray.dart:304).
-        Stored as a spec; constant textures fold at material build."""
+        Compiled immediately into the device texture table."""
         spec_ = {"type": tex_type, "params": params, "class": tex_class}
         if tex_class == "float":
             self.gs.float_textures[name] = spec_
         else:
             self.gs.spectrum_textures[name] = spec_
+        self.tex_ids[name] = self._compile_texture(tex_type, params,
+                                                   tex_class)
+
+    def _child_tex(self, params, pname, default):
+        """Resolve tex1/tex2-style child: named texture id or const row."""
+        from .. import textures as tex_mod
+        t = params.find_texture(pname)
+        if t is not None and t in self.tex_ids:
+            return self.tex_ids[t]
+        v = params.find_one_spectrum(pname, default)
+        return self.tex_builder.add(tex_mod.CONST, tuple(v))
+
+    def _compile_texture(self, tex_type, p, tex_class) -> int:
+        from .. import textures as tex_mod
+        tb = self.tex_builder
+        su = p.find_one_float("uscale", 1.0)
+        sv = p.find_one_float("vscale", 1.0)
+        du = p.find_one_float("udelta", 0.0)
+        dv = p.find_one_float("vdelta", 0.0)
+        w2t = np.asarray(self.ctm[0].m_inv, np.float32)
+        if tex_type == "constant":
+            v = (p.find_one_spectrum("value", (1, 1, 1))
+                 if tex_class != "float"
+                 else np.full(3, p.find_one_float("value", 1.0)))
+            return tb.add(tex_mod.CONST, tuple(v))
+        if tex_type == "scale":
+            return tb.add(tex_mod.SCALE,
+                          sub=(self._child_tex(p, "tex1", (1, 1, 1)),
+                               self._child_tex(p, "tex2", (1, 1, 1))))
+        if tex_type == "mix":
+            amt = p.find_one_float("amount", 0.5)
+            return tb.add(tex_mod.MIX, params=(su, sv, du, dv, amt),
+                          sub=(self._child_tex(p, "tex1", (0, 0, 0)),
+                               self._child_tex(p, "tex2", (1, 1, 1))))
+        if tex_type == "checkerboard":
+            dim = p.find_one_int("dimension", 2)
+            kind = tex_mod.CHECKER2D if dim == 2 else tex_mod.CHECKER3D
+            return tb.add(kind, params=(su, sv, du, dv),
+                          sub=(self._child_tex(p, "tex1", (1, 1, 1)),
+                               self._child_tex(p, "tex2", (0, 0, 0))),
+                          world2tex=w2t)
+        if tex_type == "dots":
+            return tb.add(tex_mod.DOTS, params=(su, sv, du, dv),
+                          sub=(self._child_tex(p, "inside", (1, 1, 1)),
+                               self._child_tex(p, "outside", (0, 0, 0))))
+        if tex_type == "uv":
+            return tb.add(tex_mod.UV, params=(su, sv, du, dv))
+        if tex_type == "fbm":
+            oct_ = p.find_one_int("octaves", 8)
+            rough = p.find_one_float("roughness", 0.5)
+            return tb.add(tex_mod.FBM, (1, 1, 1),
+                          params=(su, sv, du, dv, oct_, rough),
+                          world2tex=w2t)
+        if tex_type == "wrinkled":
+            oct_ = p.find_one_int("octaves", 8)
+            rough = p.find_one_float("roughness", 0.5)
+            return tb.add(tex_mod.WRINKLED, (1, 1, 1),
+                          params=(su, sv, du, dv, oct_, rough),
+                          world2tex=w2t)
+        if tex_type == "marble":
+            sc = p.find_one_float("scale", 1.0)
+            var = p.find_one_float("variation", 0.2)
+            return tb.add(tex_mod.MARBLE, (1, 1, 1),
+                          params=(su, sv, du, dv, 8, 0.5, sc, var),
+                          world2tex=w2t)
+        if tex_type == "windy":
+            return tb.add(tex_mod.WINDY, (1, 1, 1),
+                          params=(su, sv, du, dv), world2tex=w2t)
+        if tex_type == "bilerp":
+            v00 = p.find_one_spectrum("v00", (0, 0, 0))
+            v01 = p.find_one_spectrum("v01", (1, 1, 1))
+            v10 = p.find_one_spectrum("v10", (0, 0, 0))
+            v11 = p.find_one_spectrum("v11", (1, 1, 1))
+            c11 = tb.add(tex_mod.CONST, tuple(v11))
+            return tb.add(tex_mod.BILERP, tuple(v00),
+                          params=(su, sv, du, dv, v01[0], v01[1], v01[2],
+                                  float(np.mean(v10))),
+                          sub=(c11, -1))
+        if tex_type == "imagemap":
+            fname = p.find_one_string("filename", "")
+            sc = p.find_one_float("scale", 1.0)
+            img = None
+            if fname and self.resolver is not None:
+                from ..io import image as io_img
+                try:
+                    img = io_img.load(self.resolver(fname, binary=True),
+                                      fname)
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"warning: imagemap {fname!r} failed: {e}")
+            if img is None:
+                img = np.ones((2, 2, 3), np.float32) * 0.5
+            return tb.add(tex_mod.IMAGEMAP, (sc, sc, sc),
+                          params=(su, sv, du, dv), image=img)
+        self.log(f"warning: unknown texture type {tex_type!r}")
+        return tb.add(tex_mod.CONST, (1.0, 1.0, 1.0))
 
     def material(self, name, params):
         self.gs.material = self._make_material(name, params)
@@ -284,53 +382,70 @@ class PbrtAPI:
                               self.gs.spectrum_textures)
         tex_ids = {}
 
-        def spec3(n, d):
+        def spec3(n, d, slot=None):
             v, tex = self._resolve_tex(tp, n, np.asarray(d, np.float64))
+            if tex is not None and slot is not None and tex in self.tex_ids:
+                tex_ids[slot] = self.tex_ids[tex]
             return tuple(np.asarray(v, np.float64))
 
-        def f1(n, d):
+        def f1(n, d, slot=None):
             v, tex = self._resolve_tex(tp, n, d, is_float=True)
-            return float(v)
+            if tex is not None and slot is not None and tex in self.tex_ids:
+                tex_ids[slot] = self.tex_ids[tex]
+            return float(np.mean(v))
 
+        T = mat_mod
         if name == "matte":
-            return mat_mod.matte(kd=spec3("Kd", (0.5,) * 3),
-                                 sigma=f1("sigma", 0.0))
+            return mat_mod.matte(kd=spec3("Kd", (0.5,) * 3, T.TEX_KD),
+                                 sigma=f1("sigma", 0.0, T.TEX_SIGMA),
+                                 tex_ids=tex_ids)
         if name == "plastic":
-            return mat_mod.plastic(kd=spec3("Kd", (0.25,) * 3),
-                                   ks=spec3("Ks", (0.25,) * 3),
-                                   roughness=f1("roughness", 0.1))
+            return mat_mod.plastic(kd=spec3("Kd", (0.25,) * 3, T.TEX_KD),
+                                   ks=spec3("Ks", (0.25,) * 3, T.TEX_KS),
+                                   roughness=f1("roughness", 0.1,
+                                                T.TEX_ROUGH),
+                                   tex_ids=tex_ids)
         if name == "mirror":
-            return mat_mod.mirror(kr=spec3("Kr", (0.9,) * 3))
+            return mat_mod.mirror(kr=spec3("Kr", (0.9,) * 3, T.TEX_KR),
+                                  tex_ids=tex_ids)
         if name == "glass":
-            return mat_mod.glass(kr=spec3("Kr", (1.0,) * 3),
-                                 kt=spec3("Kt", (1.0,) * 3),
-                                 index=f1("index", 1.5))
+            return mat_mod.glass(kr=spec3("Kr", (1.0,) * 3, T.TEX_KR),
+                                 kt=spec3("Kt", (1.0,) * 3, T.TEX_KT),
+                                 index=f1("index", 1.5), tex_ids=tex_ids)
         if name == "metal":
             return mat_mod.metal(eta=spec3("eta", mat_mod.COPPER_ETA),
                                  k=spec3("k", mat_mod.COPPER_K),
-                                 roughness=f1("roughness", 0.01))
+                                 roughness=f1("roughness", 0.01,
+                                              T.TEX_ROUGH),
+                                 tex_ids=tex_ids)
         if name == "shinymetal":
-            return mat_mod.shinymetal(ks=spec3("Ks", (1.0,) * 3),
-                                      kr=spec3("Kr", (1.0,) * 3),
-                                      roughness=f1("roughness", 0.1))
+            return mat_mod.shinymetal(ks=spec3("Ks", (1.0,) * 3, T.TEX_KS),
+                                      kr=spec3("Kr", (1.0,) * 3, T.TEX_KR),
+                                      roughness=f1("roughness", 0.1,
+                                                   T.TEX_ROUGH),
+                                      tex_ids=tex_ids)
         if name == "substrate":
-            return mat_mod.substrate(kd=spec3("Kd", (0.5,) * 3),
-                                     ks=spec3("Ks", (0.5,) * 3),
-                                     roughness=f1("uroughness", 0.1))
+            return mat_mod.substrate(kd=spec3("Kd", (0.5,) * 3, T.TEX_KD),
+                                     ks=spec3("Ks", (0.5,) * 3, T.TEX_KS),
+                                     roughness=f1("uroughness", 0.1,
+                                                  T.TEX_ROUGH),
+                                     tex_ids=tex_ids)
         if name == "translucent":
             return mat_mod.translucent(
-                kd=spec3("Kd", (0.25,) * 3), ks=spec3("Ks", (0.25,) * 3),
-                roughness=f1("roughness", 0.1),
+                kd=spec3("Kd", (0.25,) * 3, T.TEX_KD),
+                ks=spec3("Ks", (0.25,) * 3, T.TEX_KS),
+                roughness=f1("roughness", 0.1, T.TEX_ROUGH),
                 reflect=spec3("reflect", (0.5,) * 3),
-                transmit=spec3("transmit", (0.5,) * 3))
+                transmit=spec3("transmit", (0.5,) * 3), tex_ids=tex_ids)
         if name == "uber":
-            return mat_mod.uber(kd=spec3("Kd", (0.25,) * 3),
-                                ks=spec3("Ks", (0.25,) * 3),
-                                kr=spec3("Kr", (0.0,) * 3),
-                                kt=spec3("Kt", (0.0,) * 3),
-                                roughness=f1("roughness", 0.1),
+            return mat_mod.uber(kd=spec3("Kd", (0.25,) * 3, T.TEX_KD),
+                                ks=spec3("Ks", (0.25,) * 3, T.TEX_KS),
+                                kr=spec3("Kr", (0.0,) * 3, T.TEX_KR),
+                                kt=spec3("Kt", (0.0,) * 3, T.TEX_KT),
+                                roughness=f1("roughness", 0.1, T.TEX_ROUGH),
                                 index=f1("index", 1.5),
-                                opacity=spec3("opacity", (1.0,) * 3))
+                                opacity=spec3("opacity", (1.0,) * 3),
+                                tex_ids=tex_ids)
         if name == "mix":
             m1 = self.gs.named_materials.get(
                 geom_params.find_one_string("namedmaterial1", ""))
@@ -609,6 +724,8 @@ class PbrtAPI:
 
         accel_name, accel_p = self.opts["accelerator"]
         split = accel_p.find_one_string("splitmethod", "sah")
+        if self.tex_ids:
+            self.builder.textures = self.tex_builder.build()
         scene = self.builder.build(split_method=split)
         si_name, si_p = self.opts["surf_integrator"]
         vi_name, vi_p = self.opts["vol_integrator"]

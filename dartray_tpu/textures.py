@@ -1,0 +1,302 @@
+"""Texture system: all texture plugins as a typed device table.
+
+TPU-native replacement for lib/textures/ (constant, scale, mix, bilerp,
+imagemap (image_texture.dart), uv, checkerboard, dots, fbm, wrinkled, marble,
+windy) and the Perlin Noise/FBm/Turbulence utilities in
+lib/core/texture.dart:27-203. Image maps live in one flat texel pool with
+per-texture (offset, width, height) — bilinear lookups are two gathers; the
+procedural family is pure VPU math. Texture graphs evaluate leaves first,
+then one combinator level (scale/mix/checker/dots/bilerp over leaf children),
+which covers the reference scenes' graphs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CONST = 0
+IMAGEMAP = 1
+UV = 2
+FBM = 3
+WRINKLED = 4
+MARBLE = 5
+WINDY = 6
+SCALE = 7
+MIX = 8
+CHECKER2D = 9
+CHECKER3D = 10
+DOTS = 11
+BILERP = 12
+
+_LEAF_KINDS = (CONST, IMAGEMAP, UV, FBM, WRINKLED, MARBLE, WINDY)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["kind", "value", "params", "sub", "img_meta", "texels",
+                      "world2tex"],
+         meta_fields=["n", "kinds_present"])
+@dataclasses.dataclass
+class TextureData:
+    kind: jnp.ndarray     # (T,) int32
+    value: jnp.ndarray    # (T, 3) const value / v00 for bilerp
+    params: jnp.ndarray   # (T, 8): [su, sv, du, dv, octaves, omega/rough,
+                          #          scale/variation, extra]
+    sub: jnp.ndarray      # (T, 2) int32 child texture ids (-1)
+    img_meta: jnp.ndarray  # (T, 3) int32 [offset, width, height]
+    texels: jnp.ndarray   # (P, 3) flat texel pool
+    world2tex: jnp.ndarray  # (T, 4, 4) 3D-mapping transform
+    n: int
+    kinds_present: tuple  # static: sorted tuple of kinds in the table
+                          # (gates tracing of the expensive families)
+
+
+class TextureBuilder:
+    def __init__(self):
+        self.rows: List[dict] = []
+        self.pool: List[np.ndarray] = []
+        self.pool_len = 0
+
+    def add(self, kind, value=(0.0, 0.0, 0.0), params=(1, 1, 0, 0, 8, 0.5, 1, 0),
+            sub=(-1, -1), image: Optional[np.ndarray] = None,
+            world2tex=None) -> int:
+        off, w, h = 0, 0, 0
+        if image is not None:
+            img = np.asarray(image, np.float32).reshape(-1, 3)
+            off = self.pool_len
+            h, w = image.shape[0], image.shape[1]
+            self.pool.append(img)
+            self.pool_len += img.shape[0]
+        p = np.zeros(8, np.float32)
+        p[:len(params)] = params
+        self.rows.append(dict(
+            kind=kind, value=np.asarray(value, np.float32), params=p,
+            sub=np.asarray(sub, np.int32),
+            img_meta=np.asarray([off, w, h], np.int32),
+            world2tex=np.eye(4, dtype=np.float32) if world2tex is None
+            else np.asarray(world2tex, np.float32)))
+        return len(self.rows) - 1
+
+    def build(self) -> TextureData:
+        if not self.rows:
+            self.add(CONST, (1.0, 1.0, 1.0))
+        texels = (np.concatenate(self.pool) if self.pool
+                  else np.zeros((1, 3), np.float32))
+        col = lambda k, dt=np.float32: jnp.asarray(
+            np.stack([r[k] for r in self.rows]).astype(dt))
+        return TextureData(
+            kind=jnp.asarray([r["kind"] for r in self.rows], jnp.int32),
+            value=col("value"), params=col("params"),
+            sub=col("sub", np.int32), img_meta=col("img_meta", np.int32),
+            texels=jnp.asarray(texels), world2tex=col("world2tex"),
+            n=len(self.rows),
+            kinds_present=tuple(sorted({r["kind"] for r in self.rows})))
+
+
+# --- Perlin noise (texture.dart Noise/FBm/Turbulence) ----------------------
+
+_PERM = np.random.RandomState(151).permutation(256)
+_PERM2 = np.concatenate([_PERM, _PERM]).astype(np.int32)
+_G = np.random.RandomState(7).randn(256, 3)
+_G /= np.linalg.norm(_G, axis=-1, keepdims=True)
+
+
+def perlin(p):
+    """Classic gradient noise at (..., 3) points, in [-1, 1]."""
+    perm = jnp.asarray(_PERM2)
+    grad = jnp.asarray(_G, jnp.float32)
+    pi = jnp.floor(p).astype(jnp.int32)
+    pf = p - jnp.floor(p)
+    w = pf * pf * pf * (pf * (pf * 6.0 - 15.0) + 10.0)  # smootherstep
+
+    def g(dx, dy, dz):
+        ix = (pi[..., 0] + dx) & 255
+        iy = (pi[..., 1] + dy) & 255
+        iz = (pi[..., 2] + dz) & 255
+        h = perm[perm[perm[ix] + iy] + iz]
+        gv = grad[h]
+        d = pf - jnp.asarray([dx, dy, dz], jnp.float32)
+        return jnp.sum(gv * d, axis=-1)
+
+    def lerp(t, a, b):
+        return a + t * (b - a)
+
+    x00 = lerp(w[..., 0], g(0, 0, 0), g(1, 0, 0))
+    x10 = lerp(w[..., 0], g(0, 1, 0), g(1, 1, 0))
+    x01 = lerp(w[..., 0], g(0, 0, 1), g(1, 0, 1))
+    x11 = lerp(w[..., 0], g(0, 1, 1), g(1, 1, 1))
+    y0 = lerp(w[..., 1], x00, x10)
+    y1 = lerp(w[..., 1], x01, x11)
+    return lerp(w[..., 2], y0, y1)
+
+
+def fbm(p, octaves=8, omega=0.5):
+    """(texture.dart FBm) fixed-octave fractal sum."""
+    out = jnp.zeros(p.shape[:-1], jnp.float32)
+    lam, o = 1.0, 1.0
+    for _ in range(int(octaves)):
+        out = out + o * perlin(p * lam)
+        lam *= 1.99
+        o *= omega
+    return out
+
+
+def turbulence(p, octaves=8, omega=0.5):
+    out = jnp.zeros(p.shape[:-1], jnp.float32)
+    lam, o = 1.0, 1.0
+    for _ in range(int(octaves)):
+        out = out + o * jnp.abs(perlin(p * lam))
+        lam *= 1.99
+        o *= omega
+    return out
+
+
+# --- evaluation ------------------------------------------------------------
+
+def _img_lookup(tex: TextureData, tid, u, v):
+    """Bilinear lookup in the flat pool (MIPMap.lookup trilinear stand-in;
+    EWA/mip pyramid pending)."""
+    meta = tex.img_meta[tid]
+    off, w, h = meta[..., 0], meta[..., 1], meta[..., 2]
+    wf = jnp.maximum(w, 1).astype(jnp.float32)
+    hf = jnp.maximum(h, 1).astype(jnp.float32)
+    # repeat wrap
+    uu = (u % 1.0) * wf - 0.5
+    vv = (v % 1.0) * hf - 0.5
+    x0 = jnp.floor(uu).astype(jnp.int32)
+    y0 = jnp.floor(vv).astype(jnp.int32)
+    fx = (uu - x0)[..., None]
+    fy = (vv - y0)[..., None]
+
+    def at(x, y):
+        xm = jnp.where(w > 0, x % jnp.maximum(w, 1), 0)
+        ym = jnp.where(h > 0, y % jnp.maximum(h, 1), 0)
+        return tex.texels[off + ym * w + xm]
+
+    c00 = at(x0, y0)
+    c10 = at(x0 + 1, y0)
+    c01 = at(x0, y0 + 1)
+    c11 = at(x0 + 1, y0 + 1)
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def _eval_leaf(tex: TextureData, tid, it):
+    """Evaluate leaf kinds for all rays (masked select). Families absent
+    from the table are skipped at trace time (kinds_present gating)."""
+    present = set(tex.kinds_present)
+    kind = tex.kind[tid]
+    prm = tex.params[tid]
+    uv = it["uv"]
+    p = it["p"]
+    su, sv, du, dv = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
+    u = uv[..., 0] * su + du
+    v = uv[..., 1] * sv + dv
+    out = tex.value[tid]                                   # CONST
+    if IMAGEMAP in present:
+        img = _img_lookup(tex, tid, u, v) * tex.value[tid]
+        out = jnp.where((kind == IMAGEMAP)[..., None], img, out)
+    if UV in present:
+        uvv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros_like(u)], axis=-1)
+        out = jnp.where((kind == UV)[..., None], uvv, out)
+    if present & {FBM, WRINKLED, MARBLE, WINDY}:
+        m = tex.world2tex[tid]
+        pt = jnp.einsum("rij,rj->ri", m[..., :3, :3], p) + m[..., :3, 3]
+        octv = 8
+        if FBM in present:
+            f = fbm(pt, octv, 0.5)
+            out = jnp.where((kind == FBM)[..., None],
+                            f[..., None] * tex.value[tid], out)
+        if WRINKLED in present:
+            t = turbulence(pt, octv, 0.5)
+            out = jnp.where((kind == WRINKLED)[..., None],
+                            t[..., None] * tex.value[tid], out)
+        if MARBLE in present:
+            scale_ = jnp.where(prm[..., 6] == 0.0, 1.0, prm[..., 6])
+            var = jnp.where(prm[..., 7] == 0.0, 0.2, prm[..., 7])
+            mar = jnp.sin(pt[..., 1] * scale_
+                          + var * fbm(pt * scale_[..., None], octv, 0.5))
+            mar01 = 0.5 + 0.5 * mar
+            marble_rgb = jnp.stack([0.35 + 0.6 * mar01, 0.3 + 0.5 * mar01,
+                                    0.27 + 0.4 * mar01], axis=-1)
+            out = jnp.where((kind == MARBLE)[..., None], marble_rgb, out)
+        if WINDY in present:
+            wind = jnp.abs(fbm(pt * 0.1, 3, 0.5)) * fbm(pt, 6, 0.5)
+            out = jnp.where((kind == WINDY)[..., None], wind[..., None], out)
+    return out
+
+
+_COMBINATORS = {SCALE, MIX, CHECKER2D, CHECKER3D, DOTS, BILERP}
+
+
+def evaluate(tex: TextureData, tid, it):
+    """Full evaluation: leaves + one combinator level (statically gated)."""
+    present = set(tex.kinds_present)
+    tid = jnp.maximum(tid, 0)
+    kind = tex.kind[tid]
+    out = _eval_leaf(tex, tid, it)
+    if not (present & _COMBINATORS):
+        return out
+    sub1 = jnp.maximum(tex.sub[tid][..., 0], 0)
+    sub2 = jnp.maximum(tex.sub[tid][..., 1], 0)
+    c1 = _eval_leaf(tex, sub1, it)
+    c2 = _eval_leaf(tex, sub2, it)
+    prm = tex.params[tid]
+    uv = it["uv"]
+    su, sv, du, dv = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
+    u = uv[..., 0] * su + du
+    v = uv[..., 1] * sv + dv
+    if SCALE in present:
+        out = jnp.where((kind == SCALE)[..., None], c1 * c2, out)
+    if MIX in present:
+        amt = prm[..., 4:5]
+        out = jnp.where((kind == MIX)[..., None],
+                        c1 * (1 - amt) + c2 * amt, out)
+    if CHECKER2D in present:
+        # (closed-form antialiasing pending; point-sampled)
+        check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
+        out = jnp.where((kind == CHECKER2D)[..., None],
+                        jnp.where(check[..., None], c1, c2), out)
+    if CHECKER3D in present:
+        m = tex.world2tex[tid]
+        pt = jnp.einsum("rij,rj->ri", m[..., :3, :3], it["p"]) \
+            + m[..., :3, 3]
+        check3 = ((jnp.floor(pt[..., 0]) + jnp.floor(pt[..., 1])
+                   + jnp.floor(pt[..., 2])).astype(jnp.int32) % 2) == 0
+        out = jnp.where((kind == CHECKER3D)[..., None],
+                        jnp.where(check3[..., None], c1, c2), out)
+    if DOTS in present:
+        cx = jnp.floor(u + 0.5)
+        cy = jnp.floor(v + 0.5)
+        rad = 0.35
+        jx = perlin(jnp.stack([cx + 0.5, cy + 0.5,
+                               jnp.zeros_like(cx)], -1)) * 0.5
+        jy = perlin(jnp.stack([cx + 1.5, cy + 2.8,
+                               jnp.zeros_like(cx)], -1)) * 0.5
+        inside = ((u - (cx + jx)) ** 2 + (v - (cy + jy)) ** 2) < rad * rad
+        out = jnp.where((kind == DOTS)[..., None],
+                        jnp.where(inside[..., None], c1, c2), out)
+    if BILERP in present:
+        v00 = tex.value[tid]
+        v01 = prm[..., 4:7]
+        v10 = jnp.stack([prm[..., 7]] * 3, axis=-1)
+        bl = ((1 - u) * (1 - v))[..., None] * v00 \
+            + ((1 - u) * v)[..., None] * v01 \
+            + (u * (1 - v))[..., None] * v10 + (u * v)[..., None] * c1
+        out = jnp.where((kind == BILERP)[..., None], bl, out)
+    return out
+
+
+def eval_or(tex: Optional[TextureData], tid, it, fallback):
+    """Evaluate textures where tid >= 0, else use fallback values."""
+    if tex is None:
+        return fallback
+    has = tid >= 0
+    vals = evaluate(tex, tid, it)
+    if fallback.ndim == 2 and fallback.shape[-1] == 3:
+        return jnp.where(has[..., None], vals, fallback)
+    return jnp.where(has[..., None], vals, fallback)
