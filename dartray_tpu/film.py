@@ -142,21 +142,24 @@ def add_samples(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
 
     dx = image_xy[:, 0] - 0.5 - film.x0
     dy = image_xy[:, 1] - 0.5 - film.y0
-    px = jnp.floor(dx)
-    py = jnp.floor(dy)
-    # static footprint loop over filter extent
-    ext_x = int(np.ceil(film.xwidth - 0.5)) + 1
-    ext_y = int(np.ceil(film.ywidth - 0.5)) + 1
+    # static footprint loop over the filter support [dx-w, dx+w]
+    # (image_film.dart:120-141: x0 = ceil(dx - w), x1 = floor(dx + w))
+    ext_x = int(np.floor(2.0 * film.xwidth)) + 1
+    ext_y = int(np.floor(2.0 * film.ywidth)) + 1
+    x_base = jnp.ceil(dx - film.xwidth).astype(jnp.int32)
+    y_base = jnp.ceil(dy - film.ywidth).astype(jnp.int32)
     pixels = film.pixels
     inv_xw = 1.0 / film.xwidth
     inv_yw = 1.0 / film.ywidth
-    for oy in range(-ext_y + 1, ext_y):
-        for ox in range(-ext_x + 1, ext_x):
-            ix = px.astype(jnp.int32) + ox
-            iy = py.astype(jnp.int32) + oy
-            fx = jnp.abs(ix.astype(jnp.float32) - dx) * inv_xw
-            fy = jnp.abs(iy.astype(jnp.float32) - dy) * inv_yw
-            in_support = (fx < 1.0) & (fy < 1.0)
+    for oy in range(ext_y):
+        for ox in range(ext_x):
+            ix = x_base + ox
+            iy = y_base + oy
+            adx = jnp.abs(ix.astype(jnp.float32) - dx)
+            ady = jnp.abs(iy.astype(jnp.float32) - dy)
+            fx = adx * inv_xw
+            fy = ady * inv_yw
+            in_support = (adx <= film.xwidth) & (ady <= film.ywidth)
             tx = jnp.minimum((fx * FILTER_TABLE_SIZE).astype(jnp.int32),
                              FILTER_TABLE_SIZE - 1)
             ty = jnp.minimum((fy * FILTER_TABLE_SIZE).astype(jnp.int32),
