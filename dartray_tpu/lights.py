@@ -445,3 +445,124 @@ def le_emitted(lt: LightTable, geom, prim_id, wo, ns):
     l_emit = lt.intensity[jnp.maximum(lid, 0)]
     facing = vm.dot(ns, wo) > 0.0
     return jnp.where((emissive & facing)[..., None], l_emit, 0.0)
+
+
+class LeSample(NamedTuple):
+    """Photon-emission sample (Light.sampleL(scene, ...), light.dart:98+)."""
+    o: jnp.ndarray        # (R, 3) ray origin
+    d: jnp.ndarray        # (R, 3) ray direction
+    alpha: jnp.ndarray    # (R, 3) power / (pdf_pos * pdf_dir * light_pdf)
+
+
+def sample_light_index(lt: LightTable, u):
+    """Sample a light ~ power CDF (ComputeLightSamplingCDF) -> (idx, pdf)."""
+    idx = jnp.clip(jnp.searchsorted(lt.power_cdf, u, side="right") - 1,
+                   0, lt.n - 1)
+    pdf = lt.power_cdf[idx + 1] - lt.power_cdf[idx]
+    return idx.astype(jnp.int32), jnp.maximum(pdf, 1e-12)
+
+
+def sample_le(lt: LightTable, geom, light_idx, light_pdf,
+              u_pos, uc, u_dir) -> LeSample:
+    """Emit photon rays from lights (the sampleL overload used by photon
+    shooting, photon_map_integrator.dart:383-430, and IGI VPL generation).
+
+    light_idx (R,) int32; light_pdf (R,); u_pos/u_dir (R, 2); uc (R,).
+    alpha carries radiance/intensity over all pdfs so that sum(alpha) over
+    photons estimates total power.
+    """
+    li_ = jnp.maximum(light_idx, 0)
+    kind = lt.kind[li_]
+    lp = lt.p[li_]
+    inten = lt.intensity[li_]
+    prm = lt.params[li_]
+    w2l = lt.w2l[li_]
+    r = light_idx.shape[0]
+    radius = lt.scene_radius
+    center = jnp.zeros((3,), jnp.float32)   # world bound assumed centered;
+    # distant/infinite use geometry's bound center instead:
+    wb = geom.world_bound
+    center = 0.5 * (wb[0] + wb[1])
+    radius = 0.5 * jnp.linalg.norm(wb[1] - wb[0]) + 1e-3
+
+    # POINT: uniform sphere direction from position
+    d_sph = smp.uniform_sample_sphere(u_dir)
+    alpha_point = inten * (1.0 / smp.UNIFORM_SPHERE_PDF)
+
+    # SPOT: uniform cone around local -z?? spot shines along light-space +z
+    ct = prm[..., 0]
+    d_cone_l = smp.uniform_sample_cone(u_dir, ct)
+    l2w = jnp.transpose(w2l[:, :3, :3], (0, 2, 1))
+    d_spot = vm.normalize(jnp.einsum("rij,rj->ri", l2w, d_cone_l))
+    # falloff at sampled angle
+    cos_s = d_cone_l[..., 2]
+    cf = prm[..., 1]
+    delta = jnp.clip((cos_s - ct) / jnp.maximum(cf - ct, 1e-8), 0.0, 1.0)
+    falloff = jnp.where(cos_s < ct, 0.0,
+                        jnp.where(cos_s > cf, 1.0, delta ** 4))
+    alpha_spot = inten * (falloff / smp.uniform_cone_pdf(ct))[..., None]
+
+    # DISTANT: origin on a world-radius disk, direction = -light dir
+    dx, dy = smp.concentric_sample_disk(u_pos)
+    ldir = vm.normalize(lp)                       # stored direction TO light
+    t1, t2 = vm.coordinate_system(ldir)
+    o_dist = center + radius * (ldir + dx[..., None] * t1 + dy[..., None] * t2)
+    d_dist = -ldir
+    area_disk = jnp.pi * radius * radius
+    alpha_dist = inten * area_disk
+
+    # AREA: CDF triangle + cosine hemisphere
+    nt = jnp.maximum(lt.tri_count[li_], 1)
+    lo = lt.cdf_offset[li_]
+    left = jnp.zeros((r,), jnp.int32)
+    right = nt
+    max_iter = int(np.ceil(np.log2(max(int(lt.tri_area_cdf.shape[0]), 2)))) + 1
+
+    def bs_body(_, lr):
+        l_, r_ = lr
+        mid = (l_ + r_) // 2
+        cv = lt.tri_area_cdf[lo + mid]
+        go_right = cv <= uc
+        return (jnp.where(go_right, mid + 1, l_),
+                jnp.where(go_right, r_, mid))
+
+    left, _ = jax.lax.fori_loop(0, max_iter, bs_body, (left, right))
+    tri_k = jnp.clip(left - 1, 0, nt - 1)
+    tri_id = lt.tri_offset[li_] + tri_k
+    b1, b2 = smp.uniform_sample_triangle(u_pos)
+    tv0 = geom.v0[tri_id]
+    te1 = geom.e1[tri_id]
+    te2 = geom.e2[tri_id]
+    p_area = tv0 + te1 * b1[..., None] + b2[..., None] * te2
+    n_area = vm.normalize(vm.cross(te1, te2))
+    d_loc = smp.cosine_sample_hemisphere(u_dir)
+    ta1, ta2 = vm.coordinate_system(n_area)
+    d_area = vm.normalize(d_loc[..., 0:1] * ta1 + d_loc[..., 1:2] * ta2
+                          + d_loc[..., 2:3] * n_area)
+    # alpha = L * cos / (pdf_pos * pdf_dir) = L * pi * A
+    alpha_area = inten * (jnp.pi * lt.total_area[li_])[..., None]
+
+    # INFINITE: env-CDF direction toward scene; origin on far disk
+    dir_l, li_env, pdf_env = _env_sample(lt, u_dir)
+    d_env = -vm.normalize(jnp.einsum("rij,rj->ri", l2w, dir_l))
+    t1e, t2e = vm.coordinate_system(d_env)
+    o_env = center - radius * d_env + radius * (dx[..., None] * t1e
+                                                + dy[..., None] * t2e)
+    alpha_env = (li_env * inten * area_disk
+                 / jnp.maximum(pdf_env, 1e-9)[..., None])
+
+    k = kind[..., None]
+    o = jnp.where(k == DISTANT, o_dist,
+        jnp.where(k == AREA, p_area + n_area * 1e-4,
+        jnp.where(k == INFINITE, o_env,
+                  jnp.broadcast_to(lp, (r, 3)))))
+    d = jnp.where(k == SPOT, d_spot,
+        jnp.where(k == DISTANT, jnp.broadcast_to(d_dist, (r, 3)),
+        jnp.where(k == AREA, d_area,
+        jnp.where(k == INFINITE, d_env, d_sph))))
+    alpha = jnp.where(k == SPOT, alpha_spot,
+            jnp.where(k == DISTANT, alpha_dist,
+            jnp.where(k == AREA, alpha_area,
+            jnp.where(k == INFINITE, alpha_env, alpha_point))))
+    alpha = alpha / light_pdf[..., None]
+    return LeSample(o=o, d=vm.normalize(d), alpha=alpha)
