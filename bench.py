@@ -81,6 +81,8 @@ def main():
     t0 = time.time()
     scene = build_bench_scene()
     build_s = time.time() - t0
+    print(f"[bench] scene+bvh build: {build_s:.1f}s", file=sys.stderr,
+          flush=True)
 
     c2w = tr.look_at([0, 2.2, -5.0], [0, 0.9, 0], [0, 1, 0])
     cam = cameras.perspective(c2w, 42.0, width, height)
@@ -100,6 +102,8 @@ def main():
                 jnp.zeros(px.shape, jnp.int32))
     jax.block_until_ready(film.pixels)
     warmup_s = time.time() - t0
+    print(f"[bench] warmup+compile: {warmup_s:.1f}s", file=sys.stderr,
+          flush=True)
 
     rays_per_wave = px.shape[0] * 3 * (max_depth + 1)
     # timed waves

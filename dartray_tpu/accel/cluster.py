@@ -61,7 +61,14 @@ class ClusterBVH:
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
           k: int = DEFAULT_K, split_method: str = "sah") -> ClusterBVH:
-    """SAH build with K-triangle leaves -> packed cluster arrays."""
+    """SAH build with K-triangle leaves -> packed cluster arrays.
+
+    Uses the native C++ builder (accel/native) when available — the numpy
+    fallback below is identical but ~1000x slower on large meshes."""
+    if split_method == "sah":
+        nat = _native_build(v0, e1, e2, k)
+        if nat is not None:
+            return nat
     f = v0.shape[0]
     v0d = v0.astype(np.float64)
     lo = np.minimum(np.minimum(v0d, v0d + e1), v0d + e2)
@@ -159,6 +166,37 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(te1),
         tri_e2=jnp.asarray(te2), tri_id=jnp.asarray(tid),
         n_nodes=n_nodes, n_clusters=c_n, k=k, max_depth=max_depth)
+
+
+def _native_build(v0, e1, e2, k):
+    from . import native
+    res = native.cluster_bvh_build(np.asarray(v0, np.float32),
+                                   np.asarray(e1, np.float32),
+                                   np.asarray(e2, np.float32), k)
+    if res is None:
+        return None
+    (node_lo, node_hi, node_child, node_axis, tri_order, cl_start, cl_cnt,
+     n_nodes, n_clusters, max_depth) = res
+    tv0 = np.zeros((n_clusters, k, 3), np.float32)
+    te1 = np.zeros((n_clusters, k, 3), np.float32)
+    te2 = np.zeros((n_clusters, k, 3), np.float32)
+    tid = np.full((n_clusters, k), -1, np.int32)
+    # vectorized padded gather: rows (cluster, slot) -> tri id or -1
+    slot = np.arange(k)[None, :]
+    valid = slot < cl_cnt[:, None]
+    src = np.minimum(cl_start[:, None] + slot, len(tri_order) - 1)
+    ids = tri_order[src]
+    tv0[valid] = v0[ids[valid]]
+    te1[valid] = e1[ids[valid]]
+    te2[valid] = e2[ids[valid]]
+    tid[valid] = ids[valid]
+    return ClusterBVH(
+        node_lo=jnp.asarray(node_lo), node_hi=jnp.asarray(node_hi),
+        node_child=jnp.asarray(node_child), node_axis=jnp.asarray(node_axis),
+        tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(te1),
+        tri_e2=jnp.asarray(te2), tri_id=jnp.asarray(tid),
+        n_nodes=int(n_nodes), n_clusters=int(n_clusters), k=int(k),
+        max_depth=int(max_depth))
 
 
 def _pad_packets(x, n_pad, fill):

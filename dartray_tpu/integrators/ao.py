@@ -35,7 +35,7 @@ class AOIntegrator:
 
 def li(ig: AOIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
     geom = scene.geometry
-    hits = traverse.intersect(geom.bvh_rows, geom.bvh_links, rays)
+    hits = st.intersect(geom, rays)
     it = st.interaction(geom, rays, hits)
     hit = hits.hit
     n = vm.face_forward(it["ns"], it["wo"])
@@ -62,7 +62,7 @@ def li(ig: AOIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
                         tmin=jnp.full((r,), ig.min_dist, jnp.float32),
                         tmax=jnp.full((r,), ig.max_dist, jnp.float32),
                         time=rays.time)
-        occ = traverse.intersect_p(geom.bvh_rows, geom.bvh_links, probe)
+        occ = st.intersect_p(geom, probe)
         return n_clear + jnp.where(hit & ~occ, 1.0, 0.0)
 
     n_clear = jax.lax.fori_loop(0, ig.n_samples, body,

@@ -47,7 +47,7 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     usable = (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
         & jnp.any(f_l != 0.0, axis=-1)
     sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps)
-    occluded = traverse.intersect_p(geom.bvh_rows, geom.bvh_links, sray)
+    occluded = st.intersect_p(geom, sray)
     # delta lights: plain estimate; others: power heuristic vs bsdf pdf
     bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
     w_l = jnp.where(ls.is_delta, 1.0,
@@ -67,7 +67,7 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
                    tmin=jnp.zeros_like(eps),
                    tmax=jnp.full_like(eps, lt_mod.INF_DIST),
                    time=jnp.zeros_like(eps))
-    bh = traverse.intersect(geom.bvh_rows, geom.bvh_links, bray)
+    bh = st.intersect(geom, bray)
     hit_prim = jnp.maximum(bh.prim, 0)
     hit_light = jnp.where(bh.prim >= 0, geom.light_id[hit_prim], -1)
     same_light = (hit_light >= 0) & (hit_light == light_idx)

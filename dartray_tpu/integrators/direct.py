@@ -51,7 +51,7 @@ def li(ig: DirectLightingIntegrator, scene: st.CompiledScene, rays, diffs,
     cur = rays
     dim = 5
     for depth in range(ig.max_depth + 1):
-        hits = traverse.intersect(geom.bvh_rows, geom.bvh_links, cur)
+        hits = st.intersect(geom, cur)
         hit = hits.hit & active
         # escaped: env light Le
         if lt is not None and lt.env_light_index >= 0:

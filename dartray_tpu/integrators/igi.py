@@ -126,7 +126,7 @@ def preprocess(ig: IGIIntegrator, scene: st.CompiledScene,
     tp = alpha
     for depth in range(ig.max_depth):
         rays = vm.make_rays(cur_o, cur_d)
-        hits = traverse.intersect(geom.bvh_rows, geom.bvh_links, rays)
+        hits = st.intersect(geom, rays)
         hit = hits.hit & active
         it = st.interaction(geom, rays, hits)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
@@ -168,7 +168,7 @@ def li(ig: IGIIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     if vpls is None:
         vpls = preprocess(ig, scene)
     r = rays.o.shape[0]
-    hits = traverse.intersect(geom.bvh_rows, geom.bvh_links, rays)
+    hits = st.intersect(geom, rays)
     hit = hits.hit
     it = st.interaction(geom, rays, hits)
     frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
@@ -213,6 +213,6 @@ def li(ig: IGIIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
         worth = ok & hit & (g > 0) & jnp.any(contrib != 0, axis=-1)
         sray = common.shadow_ray(it["p"], it["ng"], frame.n, wi,
                                  dist, eps)
-        occ = traverse.intersect_p(geom.bvh_rows, geom.bvh_links, sray)
+        occ = st.intersect_p(geom, sray)
         L = L + jnp.where((worth & ~occ)[:, None], contrib, 0.0)
     return L

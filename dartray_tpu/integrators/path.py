@@ -37,7 +37,12 @@ class PathIntegrator:
     rr_depth: int = 3
 
 
-def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
+def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
+       skip_direct: bool = False):
+    """skip_direct: omit camera-vertex direct light (bounce-0 Le and NEE) —
+    the Metropolis renderer's dodirectseparately split
+    (metropolis_renderer.dart:86-109); specular-prefix direct paths remain
+    (they are not captured by the companion direct pass)."""
     geom = scene.geometry
     lt = scene.lights
     r = rays.o.shape[0]
@@ -49,9 +54,12 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
 
     for bounce in range(ig.max_depth + 1):
         dim = 5 + bounce * 10
-        hits = traverse.intersect(geom.bvh_rows, geom.bvh_links, cur)
+        hits = st.intersect(geom, cur)
         hit = hits.hit & active
-        add_emitted = (bounce == 0) | specular_bounce
+        if skip_direct and bounce == 0:
+            add_emitted = specular_bounce   # i.e. all-False at bounce 0
+        else:
+            add_emitted = (bounce == 0) | specular_bounce
         # escaped rays: sum of light Le (env) when emission is countable
         if lt is not None and lt.env_light_index >= 0:
             L = L + jnp.where((active & ~hits.hit & add_emitted)[:, None],
@@ -66,7 +74,7 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
                                      scene.textures, it)
         wo = it["wo"]
         # NEE: one light, MIS
-        if lt is not None and lt.n > 0:
+        if lt is not None and lt.n > 0 and not (skip_direct and bounce == 0):
             sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
                                              sctx["py"], sctx["s_idx"], d)
             sd2 = lambda d: smp_mod.sample_2d(sctx["sampler"], sctx["px"],

@@ -19,6 +19,7 @@ from .. import lights as lt_mod
 from .. import volumes as vol_mod
 from ..accel import traverse
 from ..core import math as vm
+from ..scene import types as sct
 from ..core import sampling as smp
 
 
@@ -120,7 +121,7 @@ def single_scatter_li(ig: SingleScatteringIntegrator, scene, rays, seg_tmax,
                            tmin=jnp.full((r,), 1e-4, jnp.float32),
                            tmax=ls.dist * (1 - 1e-3),
                            time=seg.time)
-            occ = traverse.intersect_p(geom.bvh_rows, geom.bvh_links, sray)
+            occ = sct.intersect_p(geom, sray)
             tr_l = transmittance(vol, sray, sd(215 + 7 * k), n_steps=8)
             ph = vol_mod.phase(vol, p, w, ls.wi)
             contrib = (ss * ph[:, None] * tr_l * ls.li * float(lt.n)

@@ -19,6 +19,7 @@ from ..integrators import ao as ao_mod
 from ..integrators import direct as di_mod
 from ..integrators import path as pi_mod
 from ..integrators import volume as vi_mod
+from ..scene import types as st
 from ..scene.api import RenderJob
 from . import sampler as rend
 
@@ -65,8 +66,7 @@ def build_li(job: RenderJob) -> Callable:
         if scene.volume is None:
             return ls
         # camera-segment volume integration needs the first-hit distance
-        hits = traverse.intersect(scene.geometry.bvh_rows,
-                                  scene.geometry.bvh_links, rays)
+        hits = st.intersect(scene.geometry, rays)
         seg_tmax = jnp.where(hits.hit, hits.t, 1e7)
         if vol_name == "single":
             ig = vi_mod.SingleScatteringIntegrator(

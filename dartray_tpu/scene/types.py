@@ -18,12 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from ..accel import bvh as bvh_mod
+from ..accel import cluster as cluster_mod
 from ..core import math as vm
 from . import mesh as mesh_mod
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["bvh_rows", "bvh_links", "v0", "e1", "e2", "vn", "uv",
+         data_fields=["cl", "v0", "e1", "e2", "vn", "uv",
                       "mat_id", "light_id", "world_bound"],
          meta_fields=["n_prims", "n_nodes"])
 @dataclasses.dataclass
@@ -35,8 +36,7 @@ class Geometry:
     when absent). mat_id/light_id: (F,) int32 indices into material/light
     tables (light_id -1 = not emissive).
     """
-    bvh_rows: jnp.ndarray
-    bvh_links: jnp.ndarray
+    cl: Any                  # accel.cluster.ClusterBVH (the hot traversal)
     v0: jnp.ndarray
     e1: jnp.ndarray
     e2: jnp.ndarray
@@ -98,16 +98,28 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     v0 = np.concatenate(v0s)
     e1 = np.concatenate(e1s)
     e2 = np.concatenate(e2s)
-    b = bvh_mod.build(v0, e1, e2, split_method=split_method)
+    cb = cluster_mod.build(v0, e1, e2, split_method=split_method)
+    wb = np.stack([np.asarray(cb.node_lo[0]), np.asarray(cb.node_hi[0])])
     return Geometry(
-        bvh_rows=jnp.asarray(b.rows), bvh_links=jnp.asarray(b.links),
+        cl=cb,
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         vn=jnp.asarray(np.concatenate(vns)),
         uv=jnp.asarray(np.concatenate(uvs)),
         mat_id=jnp.asarray(np.concatenate(mids)),
         light_id=jnp.asarray(np.concatenate(lids)),
-        world_bound=jnp.asarray(b.world_bound),
-        n_prims=int(v0.shape[0]), n_nodes=b.n_nodes)
+        world_bound=jnp.asarray(wb),
+        n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes)
+
+
+def intersect(geom: "Geometry", rays):
+    """Closest-hit over the scene accelerator (Scene.intersect,
+    lib/core/scene.dart:51)."""
+    return cluster_mod.intersect(geom.cl, rays)
+
+
+def intersect_p(geom: "Geometry", rays):
+    """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
+    return cluster_mod.intersect_p(geom.cl, rays)
 
 
 class SurfaceInteraction:
