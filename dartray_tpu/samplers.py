@@ -30,10 +30,11 @@ STRATIFIED = 1
 RANDOM = 2
 HALTON = 3
 BESTCANDIDATE = 4
+VECTOR = 5   # primary-sample-space vector (Metropolis chains)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["seed"],
+         data_fields=["seed", "u_vec"],
          meta_fields=["kind", "spp", "nx", "ny", "jitter"])
 @dataclasses.dataclass
 class Sampler:
@@ -43,6 +44,15 @@ class Sampler:
     nx: int = 1             # stratified strata
     ny: int = 1
     jitter: bool = True
+    u_vec: jnp.ndarray = None   # (R, D) primary samples (VECTOR kind only)
+
+
+def vector_sampler(u_vec) -> Sampler:
+    """Sampler whose draws read the explicit primary-sample vector u_vec
+    (R, D): dimension d -> u_vec[:, d mod D]. This is how the Metropolis
+    renderer drives the ordinary integrators with mutated sample vectors
+    (the _MLTSample analog, renderers/metropolis_renderer.dart)."""
+    return Sampler(VECTOR, 1, jnp.uint32(0), u_vec=u_vec)
 
 
 def _round_pow2(n):
@@ -78,6 +88,10 @@ def _pixel_key(sampler: Sampler, px, py, dim):
 
 def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
     """(R,) pixel coords + sample indices -> (R, 2) in [0,1)^2."""
+    if sampler.kind == VECTOR:
+        d = sampler.u_vec.shape[1]
+        return jnp.stack([sampler.u_vec[:, dim % d],
+                          sampler.u_vec[:, (dim + 1) % d]], axis=-1)
     if sampler.kind == LOWDISCREPANCY:
         scr = jnp.stack([_pixel_key(sampler, px, py, dim),
                          _pixel_key(sampler, px, py, dim + 1000)], axis=-1)
@@ -117,6 +131,8 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
 
 
 def sample_1d(sampler: Sampler, px, py, s_idx, dim: int):
+    if sampler.kind == VECTOR:
+        return sampler.u_vec[:, dim % sampler.u_vec.shape[1]]
     if sampler.kind == LOWDISCREPANCY:
         scr = _pixel_key(sampler, px, py, dim)
         sp = smp.index_permute(s_idx.astype(U32), sampler.spp,
