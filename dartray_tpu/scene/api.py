@@ -623,8 +623,27 @@ class PbrtAPI:
             base = mesh_mod.make_mesh(pts, idx.reshape(-1, 3))
             return mesh_mod.loop_subdivide(base, n)
         if name == "nurbs":
-            self.log("note: nurbs tessellation pending; skipping shape")
-            return None
+            nu = p.find_one_int("nu", -1)
+            nv = p.find_one_int("nv", -1)
+            uorder = p.find_one_int("uorder", -1)
+            vorder = p.find_one_int("vorder", -1)
+            uknots = p.find_floats("uknots")
+            vknots = p.find_floats("vknots")
+            pts = p.find_points("P")
+            pw = p.find_floats("Pw")
+            if (nu < 0 or nv < 0 or uorder < 0 or vorder < 0
+                    or uknots is None or vknots is None
+                    or (pts is None and pw is None)):
+                self.log("warning: nurbs missing nu/nv/uorder/vorder/"
+                         "uknots/vknots/P|Pw")
+                return None
+            inf = float("inf")
+            opt = lambda k: (None if (x := p.find_one_float(k, inf)) == inf
+                             else x)
+            return mesh_mod.nurbs(
+                nu, uorder, uknots, nv, vorder, vknots,
+                P=pts, Pw=(None if pw is None else pw.reshape(-1, 4)),
+                u0=opt("u0"), u1=opt("u1"), v0=opt("v0"), v1=opt("v1"))
         self.log(f"warning: unknown shape {name!r}")
         return None
 

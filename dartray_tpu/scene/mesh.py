@@ -333,3 +333,112 @@ def loop_subdivide(mesh: TriangleMesh, n_levels: int) -> TriangleMesh:
     m = TriangleMesh(v.astype(np.float32), f.astype(np.int32))
     m.normals = _vertex_normals(m)
     return m
+
+
+# --- NURBS tessellation (shapes/nurbs.dart) ---------------------------------
+
+def _bspline_basis(t: np.ndarray, knots: np.ndarray, order: int,
+                   n_cp: int):
+    """Vectorized Cox-de Boor: basis values and first derivatives.
+
+    t: (M,) parameter values; knots: (n_cp + order,). Returns
+    (N, dN): each (M, n_cp). Replaces the reference's per-point recursive
+    NurbsEvaluate (shapes/nurbs.dart:197-250) with one dynamic-programming
+    sweep over degree evaluated for the whole dice grid at once.
+    """
+    p = order - 1
+    knots = np.asarray(knots, np.float64)
+    t = np.asarray(t, np.float64)
+    m = t.shape[0]
+    # clamp params strictly inside the valid span so the half-open interval
+    # logic never drops the final sample (KnotOffset analog, nurbs.dart:253)
+    t0, t1 = knots[p], knots[n_cp]
+    eps = 1e-9 * max(abs(t1 - t0), 1.0)
+    tc = np.clip(t, t0, t1 - eps)
+    n_b = n_cp + order - 1  # degree-0 interval count
+    n0 = ((knots[None, :n_b] <= tc[:, None])
+          & (tc[:, None] < knots[None, 1:n_b + 1])).astype(np.float64)
+    nd = n0
+    nd_prev = None
+    for d in range(1, p + 1):
+        nd_prev = nd
+        ni = nd.shape[1] - 1
+        left_den = knots[d:d + ni] - knots[:ni]
+        right_den = knots[d + 1:d + 1 + ni] - knots[1:1 + ni]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            left = np.where(left_den > 0,
+                            (tc[:, None] - knots[None, :ni]) / left_den,
+                            0.0)
+            right = np.where(right_den > 0,
+                             (knots[None, d + 1:d + 1 + ni] - tc[:, None])
+                             / right_den, 0.0)
+        nd = left * nd[:, :ni] + right * nd[:, 1:ni + 1]
+    basis = nd[:, :n_cp]
+    if p == 0:
+        return basis, np.zeros_like(basis)
+    # derivative from degree-(p-1) basis
+    ni = n_cp
+    dl = knots[p:p + ni] - knots[:ni]
+    dr = knots[p + 1:p + 1 + ni] - knots[1:1 + ni]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.where(dl > 0, p / dl, 0.0)
+        b = np.where(dr > 0, p / dr, 0.0)
+    low = nd_prev[:, :ni]
+    high = nd_prev[:, 1:ni + 1]
+    dbasis = a[None] * low - b[None] * high
+    return basis, dbasis
+
+
+def nurbs(nu: int, uorder: int, uknots, nv: int, vorder: int, vknots,
+          P=None, Pw=None, u0=None, u1=None, v0=None, v1=None,
+          diceu: int = 30, dicev: int = 30) -> TriangleMesh:
+    """Tessellate a NURBS patch to a TriangleMesh (shapes/nurbs.dart:75-160).
+
+    P: (nu*nv, 3) control points or Pw: (nu*nv, 4) homogeneous. Diced on a
+    uniform 30x30 grid like the reference (nurbs.dart:78-79); normals from
+    dPdu x dPdv of the rational surface (quotient rule).
+    """
+    uknots = np.asarray(uknots, np.float64)
+    vknots = np.asarray(vknots, np.float64)
+    assert uknots.shape[0] == nu + uorder, "uknots must have nu+uorder entries"
+    assert vknots.shape[0] == nv + vorder, "vknots must have nv+vorder entries"
+    if Pw is None:
+        P = np.asarray(P, np.float64).reshape(nv, nu, 3)
+        Pw = np.concatenate([P, np.ones((nv, nu, 1))], axis=-1)
+    else:
+        Pw = np.asarray(Pw, np.float64).reshape(nv, nu, 4)
+    u0 = uknots[uorder - 1] if u0 is None else u0
+    u1 = uknots[nu] if u1 is None else u1
+    v0 = vknots[vorder - 1] if v0 is None else v0
+    v1 = vknots[nv] if v1 is None else v1
+    us = np.linspace(u0, u1, diceu)
+    vs = np.linspace(v0, v1, dicev)
+    bu, dbu = _bspline_basis(us, uknots, uorder, nu)    # (U, nu)
+    bv, dbv = _bspline_basis(vs, vknots, vorder, nv)    # (V, nv)
+    # homogeneous surface A(u,v) = sum_ij bu_i bv_j Pw_ij -> (V, U, 4)
+    s = np.einsum("vj,ui,jik->vuk", bv, bu, Pw)
+    su = np.einsum("vj,ui,jik->vuk", bv, dbu, Pw)
+    sv = np.einsum("vj,ui,jik->vuk", dbv, bu, Pw)
+    w = np.maximum(np.abs(s[..., 3:]), 1e-12) * np.sign(
+        np.where(s[..., 3:] == 0, 1.0, s[..., 3:]))
+    pts = s[..., :3] / w
+    dpdu = (su[..., :3] * w - s[..., :3] * su[..., 3:]) / (w * w)
+    dpdv = (sv[..., :3] * w - s[..., :3] * sv[..., 3:]) / (w * w)
+    nrm = np.cross(dpdu, dpdv)
+    nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / np.maximum(nlen, 1e-12)
+    uu, vv = np.meshgrid(us, vs, indexing="xy")
+    uvs = np.stack([uu, vv], axis=-1).reshape(-1, 2)
+    verts = pts.reshape(-1, 3)
+    # grid faces with the reference's winding (nurbs.dart:133-144)
+    faces = []
+    for j in range(dicev - 1):
+        for i in range(diceu - 1):
+            a = j * diceu + i
+            faces.append([a, a + 1, a + diceu + 1])
+            faces.append([a, a + diceu + 1, a + diceu])
+    m = TriangleMesh(verts.astype(np.float32),
+                     np.asarray(faces, np.int32),
+                     nrm.reshape(-1, 3).astype(np.float32),
+                     uvs.astype(np.float32))
+    return m
