@@ -1,0 +1,562 @@
+"""Pallas TPU megakernel: fused BVH traversal + Moeller-Trumbore intersection.
+
+The hot loop of the whole renderer (reference semantics:
+lib/accelerators/bvh_accel.dart:101-224 traversal + lib/shapes/triangle.dart:44-160
+triangle test), redesigned for the TPU memory hierarchy instead of translated:
+
+* The ENTIRE scene lives in VMEM for the duration of the kernel — cluster-BVH
+  node table (bounds f32 + children/axis i32, scalar-read per step) and the
+  triangle soup packed as (C, K) per-component arrays (~36 B/tri, so ~300k
+  triangles fit the ~16 MB VMEM of one core). Zero HBM traffic per node step.
+* Rays are processed in BLOCKS of B = B_ROWS*128 (sublane-rows x lanes); each
+  grid program owns one block and runs the traversal ``lax.while_loop``
+  entirely in-kernel with its stack in SMEM scratch. One node pop costs a few
+  scalar loads + one (B_ROWS,128) slab test on the VPU.
+* A leaf visit tests all K cluster triangles against all B block rays as one
+  dense (K, B_ROWS, 128) MT evaluation — tri components broadcast from (K,1,1)
+  column slices, rays from (1,B_ROWS,128). Winner selection folds over K with
+  scalar prim ids (cid*K + k): triangles are stored in cluster-permuted order
+  so the hit id is arithmetic, not a gather.
+* Near-child-first ordering by the block's majority direction sign per axis
+  (the packet dirIsNeg analog); any-hit mode terminates a block early once
+  every live ray has an occluder.
+
+Returns (t, prim) only; barycentrics are recomputed exactly outside the
+kernel by one gathered MT evaluation per hit ray (see ``finish_hits``) —
+cheaper than carrying u/v payloads through the selection fold.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TRI_EPS = 1e-10
+BARY_EPS = 1e-6
+STACK_DEPTH = 128
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bounds", "meta", "tv0", "te1", "te2"],
+         meta_fields=["n_nodes", "n_clusters", "k"])
+@dataclasses.dataclass
+class PackedBVH:
+    """Kernel-ready scene: node table + cluster-permuted triangle soup.
+
+    bounds: (N, 8) f32 [lox loy loz hix hiy hiz 0 0]
+    meta:   (N, 4) i32 [child0, child1, axis, 0]; leaf: child0 = -(cluster+1)
+    tv0/te1/te2: 3 x (C, K) per xyz component -> stored as (3, C, K) stacks
+    Triangle j of cluster c sits at permuted prim id c*K + j; padded slots are
+    degenerate (all-zero edges -> det 0 -> never hit).
+    """
+    bounds: jnp.ndarray
+    meta: jnp.ndarray
+    tv0: jnp.ndarray   # (3, C, K)
+    te1: jnp.ndarray
+    te2: jnp.ndarray
+    n_nodes: int
+    n_clusters: int
+    k: int
+
+
+def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
+    """Build PackedBVH from ClusterBVH-style arrays ((C,K,3) tris, (C,K) ids).
+
+    Returns (packed, perm) where perm (C*K,) maps permuted prim id -> original
+    triangle id (-1 for pad slots). Padded slots get zeroed edges.
+    """
+    n = node_lo.shape[0]
+    lo = np.asarray(node_lo, np.float32)
+    hi = np.asarray(node_hi, np.float32)
+    bounds = np.zeros((n, 8), np.float32)
+    bounds[:, 0:3] = lo
+    bounds[:, 3:6] = hi
+    meta = np.zeros((n, 4), np.int32)
+    meta[:, 0:2] = np.asarray(node_child, np.int32)
+    meta[:, 2] = np.asarray(node_axis, np.int32)
+    tid = np.asarray(tid, np.int32)
+    pad = tid < 0
+    v0 = np.where(pad[..., None], 0.0, np.asarray(tv0, np.float32))
+    e1 = np.where(pad[..., None], 0.0, np.asarray(te1, np.float32))
+    e2 = np.where(pad[..., None], 0.0, np.asarray(te2, np.float32))
+    c, k = tid.shape
+    packed = PackedBVH(
+        bounds=jnp.asarray(bounds), meta=jnp.asarray(meta),
+        tv0=jnp.asarray(np.moveaxis(v0, -1, 0).copy()),
+        te1=jnp.asarray(np.moveaxis(e1, -1, 0).copy()),
+        te2=jnp.asarray(np.moveaxis(e2, -1, 0).copy()),
+        n_nodes=n, n_clusters=c, k=k)
+    return packed, tid.reshape(-1)
+
+
+def _kernel(bounds_ref, meta_ref,
+            v0x_ref, v0y_ref, v0z_ref,
+            e1x_ref, e1y_ref, e1z_ref,
+            e2x_ref, e2y_ref, e2z_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            tmin_ref, tmax_ref,
+            t_out, prim_out, stack_ref,
+            *, k: int, rows: int, any_hit: bool):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+    half = jnp.float32(rows * 128 / 2)
+    negx = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) > half
+    negy = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) > half
+    negz = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) > half
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((rows, 128), -1, jnp.int32)
+    stack_ref[0] = jnp.int32(0)
+
+    o3 = (ox.reshape(1, rows, 128), oy.reshape(1, rows, 128),
+          oz.reshape(1, rows, 128))
+    d3 = (dx.reshape(1, rows, 128), dy.reshape(1, rows, 128),
+          dz.reshape(1, rows, 128))
+    tmin3 = tmin.reshape(1, rows, 128)
+
+    def leaf_test(cid, t_best, prim, slab_hit):
+        base = cid * k
+
+        def col(ref):
+            row = ref[pl.ds(cid, 1), :]                 # (1, K)
+            return jnp.transpose(row, (1, 0)).reshape(k, 1, 1)
+
+        v0 = (col(v0x_ref), col(v0y_ref), col(v0z_ref))
+        e1 = (col(e1x_ref), col(e1y_ref), col(e1z_ref))
+        e2 = (col(e2x_ref), col(e2y_ref), col(e2z_ref))
+        # Moeller-Trumbore, (K, rows, 128) dense
+        px = d3[1] * e2[2] - d3[2] * e2[1]
+        py = d3[2] * e2[0] - d3[0] * e2[2]
+        pz = d3[0] * e2[1] - d3[1] * e2[0]
+        det = e1[0] * px + e1[1] * py + e1[2] * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
+        tx = o3[0] - v0[0]
+        ty = o3[1] - v0[1]
+        tz = o3[2] - v0[2]
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1[2] - tz * e1[1]
+        qy = tz * e1[0] - tx * e1[2]
+        qz = tx * e1[1] - ty * e1[0]
+        v = (d3[0] * qx + d3[1] * qy + d3[2] * qz) * inv_det
+        t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+        ok = ((jnp.abs(det) >= TRI_EPS)
+              & (u >= -BARY_EPS) & (v >= -BARY_EPS)
+              & (u + v <= 1.0 + BARY_EPS)
+              & (t > tmin3) & slab_hit.reshape(1, rows, 128))
+        tm = jnp.where(ok, t, jnp.float32(jnp.inf))
+        # fold winner over K (prim id = base + j, pure arithmetic)
+        for j in range(k):
+            tj = tm[j]
+            better = tj < t_best
+            t_best = jnp.where(better, tj, t_best)
+            prim = jnp.where(better, base + j, prim)
+        return t_best, prim
+
+    def cond(st):
+        sp, t_best, prim = st
+        live = sp > 0
+        if any_hit:
+            live = live & ~jnp.all((prim >= 0) | ~alive)
+        return live
+
+    def body(st):
+        sp, t_best, prim = st
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        lox = bounds_ref[node, 0]
+        loy = bounds_ref[node, 1]
+        loz = bounds_ref[node, 2]
+        hix = bounds_ref[node, 3]
+        hiy = bounds_ref[node, 4]
+        hiz = bounds_ref[node, 5]
+        t0x = (lox - ox) * ix
+        t1x = (hix - ox) * ix
+        t0y = (loy - oy) * iy
+        t1y = (hiy - oy) * iy
+        t0z = (loz - oz) * iz
+        t1z = (hiz - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+        if any_hit:
+            slab_hit = (tn <= tf) & alive & (prim < 0)
+        else:
+            slab_hit = (tn <= tf) & alive
+        nhit = jnp.any(slab_hit)
+        c0 = meta_ref[node, 0]
+        is_leaf = c0 < 0
+
+        # interior: push far then near (predicated; slots above sp are dead)
+        c1 = meta_ref[node, 1]
+        axis = meta_ref[node, 2]
+        neg = jnp.where(axis == 0, negx, jnp.where(axis == 1, negy, negz))
+        near = jnp.where(neg, c1, c0)
+        far = jnp.where(neg, c0, c1)
+        do_push = nhit & ~is_leaf
+
+        @pl.when(do_push)
+        def _():
+            stack_ref[sp] = far
+            stack_ref[sp + 1] = near
+
+        sp = sp + jnp.where(do_push, 2, 0)
+
+        t_best, prim = jax.lax.cond(
+            nhit & is_leaf,
+            lambda tb, pr: leaf_test(-c0 - 1, tb, pr, slab_hit),
+            lambda tb, pr: (tb, pr),
+            t_best, prim)
+        return sp, t_best, prim
+
+    _, t_best, prim = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), t0, prim0))
+    t_out[:] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[:] = prim
+
+
+def _pad_to(x, n, fill):
+    if x.shape[0] == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)])
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret"))
+def traverse(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+             block_rows: int = 8, interpret: bool = False):
+    """Closest-hit (or any-hit) of rays vs the packed scene.
+
+    o, d: (R, 3); tmin/tmax: (R,). Returns (t (R,), prim (R,)) with t = inf,
+    prim = -1 on miss. prim indexes the PERMUTED triangle order (cid*K + j).
+    """
+    r = o.shape[0]
+    b = block_rows * 128
+    rp = -(-r // b) * b
+    o = _pad_to(o, rp, 0.0)
+    d = _pad_to(d, rp, 1.0)
+    tmin = _pad_to(tmin, rp, 0.0)
+    tmax = _pad_to(tmax, rp, -1.0)      # pad rays: tmax < tmin -> dead
+    shape2 = (rp // 128, 128)
+    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              tmin, tmax]
+    planes = [p.reshape(shape2) for p in planes]
+    n_blocks = rp // b
+
+    grid = (n_blocks,)
+    tri_spec = pl.BlockSpec(
+        (1, bvh.n_clusters, bvh.k), lambda i: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tri_args = []
+    tri_specs = []
+    for arr in (bvh.tv0, bvh.te1, bvh.te2):
+        for c in range(3):
+            tri_args.append(arr[c])
+            tri_specs.append(full(arr[c]))
+
+    kern = partial(_kernel, k=bvh.k, rows=block_rows, any_hit=any_hit)
+    t, prim = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct(shape2, jnp.float32),
+                   jax.ShapeDtypeStruct(shape2, jnp.int32)),
+        in_specs=([full(bvh.bounds), full(bvh.meta)]
+                  + tri_specs
+                  + [ray_spec] * 8),
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(bvh.bounds, bvh.meta, *tri_args, *planes)
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
+# ---------------------------------------------------------------------------
+# Kernel v2: per-sublane-row packets with independent stacks + leaf buffers.
+#
+# v1 (above) gives every (rows x 128) block ONE stack, so a block visits the
+# UNION of its rays' nodes and every leaf in that union runs the dense MT test
+# against all block rays — fine for coherent camera packets, ruinous for
+# bounce rays. v2 runs P=8 independent 128-ray packets per grid program in
+# lockstep: the stack is (depth, P) in SMEM with one column per packet, node
+# bounds for the P current nodes are assembled from P (1,8) VMEM row loads
+# into an (P,8) tile whose columns broadcast against the (P,128) ray planes,
+# and popped leaf clusters go to PER-PACKET buffers that are flushed in
+# aligned rounds — each packet tests only ITS OWN cluster in one dense
+# (K, P, 128) MT evaluation. Packets that are done push NULL ids that map to
+# a sentinel node/cluster row (empty box / zero-edge triangles), keeping the
+# lockstep rows branch-free.
+# ---------------------------------------------------------------------------
+
+LEAF_BUFN = 8
+
+
+def _kernel2(bounds_ref, meta_ref,
+             v0x_ref, v0y_ref, v0z_ref,
+             e1x_ref, e1y_ref, e1z_ref,
+             e2x_ref, e2y_ref, e2z_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tmin_ref, tmax_ref,
+             t_out, prim_out,
+             stack_ref, lbuf_ref, lcnt_ref, spill_ref,
+             *, k: int, rows: int, any_hit: bool, null_node: int,
+             null_cluster: int):
+    P = rows
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+
+    # per-packet majority direction sign -> scalars via VMEM spill round-trip
+    half = jnp.float32(64.0)
+    negf = jnp.concatenate(
+        [jnp.sum(jnp.where(dx < 0, 1.0, 0.0), axis=1, keepdims=True),
+         jnp.sum(jnp.where(dy < 0, 1.0, 0.0), axis=1, keepdims=True),
+         jnp.sum(jnp.where(dz < 0, 1.0, 0.0), axis=1, keepdims=True)],
+        axis=1)                                     # (P, 3)
+    spill_ref[:, 0:3] = negf
+    neg_r = [[spill_ref[r, a] > half for a in range(3)] for r in range(P)]
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((P, 128), -1, jnp.int32)
+    for r in range(P):
+        stack_ref[0, r] = jnp.int32(0)
+        lcnt_ref[r] = jnp.int32(0)
+
+    o3 = (ox.reshape(1, P, 128), oy.reshape(1, P, 128),
+          oz.reshape(1, P, 128))
+    d3 = (dx.reshape(1, P, 128), dy.reshape(1, P, 128),
+          dz.reshape(1, P, 128))
+    tmin3 = tmin.reshape(1, P, 128)
+
+    def flush(t_best, prim):
+        """Aligned leaf rounds: one buffered cluster per packet per round."""
+        cnts = [lcnt_ref[r] for r in range(P)]
+        max_cnt = functools.reduce(jnp.maximum, cnts)
+
+        def round_fn(i, carry):
+            t_best, prim = carry
+            cids = [jnp.where(i < lcnt_ref[r], lbuf_ref[r, i],
+                              jnp.int32(null_cluster)) for r in range(P)]
+
+            def cols(ref):
+                rows_ = [ref[pl.ds(cids[r], 1), :] for r in range(P)]
+                m = jnp.concatenate(rows_, axis=0)          # (P, K)
+                return jnp.transpose(m, (1, 0)).reshape(k, P, 1)
+
+            v0 = (cols(v0x_ref), cols(v0y_ref), cols(v0z_ref))
+            e1 = (cols(e1x_ref), cols(e1y_ref), cols(e1z_ref))
+            e2 = (cols(e2x_ref), cols(e2y_ref), cols(e2z_ref))
+            px = d3[1] * e2[2] - d3[2] * e2[1]
+            py = d3[2] * e2[0] - d3[0] * e2[2]
+            pz = d3[0] * e2[1] - d3[1] * e2[0]
+            det = e1[0] * px + e1[1] * py + e1[2] * pz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
+            tx = o3[0] - v0[0]
+            ty = o3[1] - v0[1]
+            tz = o3[2] - v0[2]
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1[2] - tz * e1[1]
+            qy = tz * e1[0] - tx * e1[2]
+            qz = tx * e1[1] - ty * e1[0]
+            v = (d3[0] * qx + d3[1] * qy + d3[2] * qz) * inv_det
+            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+            live = alive if not any_hit else (alive & (prim < 0))
+            ok = ((jnp.abs(det) >= TRI_EPS)
+                  & (u >= -BARY_EPS) & (v >= -BARY_EPS)
+                  & (u + v <= 1.0 + BARY_EPS)
+                  & (t > tmin3) & live.reshape(1, P, 128))
+            tm = jnp.where(ok, t, jnp.float32(jnp.inf))
+            # per-packet base prim id vector (P, 128)
+            base = jnp.zeros((P, 128), jnp.int32)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+            for r in range(P):
+                base = jnp.where(rsel == r, cids[r] * k, base)
+            for j in range(k):
+                tj = tm[j]
+                better = tj < t_best
+                t_best = jnp.where(better, tj, t_best)
+                prim = jnp.where(better, base + j, prim)
+            return t_best, prim
+
+        t_best, prim = jax.lax.fori_loop(0, max_cnt, round_fn,
+                                         (t_best, prim))
+        for r in range(P):
+            lcnt_ref[r] = jnp.int32(0)
+        return t_best, prim
+
+    def node_steps(sp, t_best, prim):
+        """Pop/test/push until stacks drain or any leaf buffer fills."""
+        def cond(st):
+            sp, t_best, prim, full = st
+            return (sp > 0) & ~full
+
+        def body(st):
+            sp, t_best, prim, _ = st
+            sp = sp - 1
+            node_r = [stack_ref[sp, r] for r in range(P)]
+            brows = [bounds_ref[pl.ds(node_r[r], 1), :] for r in range(P)]
+            B = jnp.concatenate(brows, axis=0)           # (P, 8)
+            lox, loy, loz = B[:, 0:1], B[:, 1:2], B[:, 2:3]
+            hix, hiy, hiz = B[:, 3:4], B[:, 4:5], B[:, 5:6]
+            t0x = (lox - ox) * ix
+            t1x = (hix - ox) * ix
+            t0y = (loy - oy) * iy
+            t1y = (hiy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1z = (hiz - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            if any_hit:
+                slab = (tn <= tf) & alive & (prim < 0)
+            else:
+                slab = (tn <= tf) & alive
+            nhit_v = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=1,
+                             keepdims=True)               # (P, 1)
+            spill_ref[:, 4:5] = nhit_v
+            any_push = jnp.bool_(False)
+            full = jnp.bool_(False)
+            for r in range(P):
+                # NOTE: the [+inf,-inf] sentinel box is NOT a miss under the
+                # min/max slab test (per-axis ordering turns it into an
+                # everything-box), so null nodes must be masked explicitly.
+                valid_r = node_r[r] != null_node
+                nhit_r = (spill_ref[r, 4] > 0.5) & valid_r
+                c0 = meta_ref[node_r[r], 0]
+                c1 = meta_ref[node_r[r], 1]
+                ax = meta_ref[node_r[r], 2]
+                is_leaf = c0 < 0
+                push_r = nhit_r & ~is_leaf
+                neg = jnp.where(ax == 0, neg_r[r][0],
+                                jnp.where(ax == 1, neg_r[r][1], neg_r[r][2]))
+                near = jnp.where(neg, c1, c0)
+                far = jnp.where(neg, c0, c1)
+                stack_ref[sp, r] = jnp.where(push_r, far,
+                                             jnp.int32(null_node))
+                stack_ref[sp + 1, r] = jnp.where(push_r, near,
+                                                 jnp.int32(null_node))
+                any_push = any_push | push_r
+                # leaf: buffer cid
+                take = nhit_r & is_leaf
+                cnt = lcnt_ref[r]
+
+                @pl.when(take)
+                def _():
+                    lbuf_ref[r, cnt] = -c0 - 1
+                    lcnt_ref[r] = cnt + 1
+
+                full = full | (jnp.where(take, cnt + 1, cnt)
+                               >= LEAF_BUFN)
+            sp = sp + jnp.where(any_push, 2, 0)
+            if any_hit:
+                done_all = jnp.all((prim >= 0) | ~alive)
+                sp = jnp.where(done_all, 0, sp)
+            return sp, t_best, prim, full
+
+        return jax.lax.while_loop(cond, body,
+                                  (sp, t_best, prim, jnp.bool_(False)))
+
+    def outer_cond(st):
+        sp, t_best, prim = st
+        return sp > 0
+
+    def outer_body(st):
+        sp, t_best, prim = st
+        sp, t_best, prim, _ = node_steps(sp, t_best, prim)
+        t_best, prim = flush(t_best, prim)
+        return sp, t_best, prim
+
+    sp, t_best, prim = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(1), t0, prim0))
+    t_out[:] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[:] = prim
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret"))
+def traverse2(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+              block_rows: int = 8, interpret: bool = False):
+    """v2 traversal: independent 128-ray packet per sublane row."""
+    r = o.shape[0]
+    b = block_rows * 128
+    rp = -(-r // b) * b
+    o = _pad_to(o, rp, 0.0)
+    d = _pad_to(d, rp, 1.0)
+    tmin = _pad_to(tmin, rp, 0.0)
+    tmax = _pad_to(tmax, rp, -1.0)
+    shape2 = (rp // 128, 128)
+    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              tmin, tmax]
+    planes = [p.reshape(shape2) for p in planes]
+    n_blocks = rp // b
+
+    # sentinel rows: null node (empty box, non-leaf) + null cluster (zero tris)
+    null_node = bvh.n_nodes
+    null_cluster = bvh.n_clusters
+    bounds = jnp.concatenate(
+        [bvh.bounds,
+         jnp.asarray([[jnp.inf] * 3 + [-jnp.inf] * 3 + [0, 0]],
+                     jnp.float32)])
+    meta = jnp.concatenate([bvh.meta,
+                            jnp.asarray([[1, 1, 0, 0]], jnp.int32)])
+
+    def with_null(arr3):   # (3, C, K) -> components with zero row appended
+        z = jnp.zeros((1, bvh.k), arr3.dtype)
+        return [jnp.concatenate([arr3[c], z]) for c in range(3)]
+
+    tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
+                + with_null(bvh.te2))
+    # reorder into v0x v0y v0z e1x ... layout expected by the kernel
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kern = partial(_kernel2, k=bvh.k, rows=block_rows, any_hit=any_hit,
+                   null_node=null_node, null_cluster=null_cluster)
+    t, prim = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        out_shape=(jax.ShapeDtypeStruct(shape2, jnp.float32),
+                   jax.ShapeDtypeStruct(shape2, jnp.int32)),
+        in_specs=([full(bounds), full(meta)]
+                  + [full(a) for a in tri_args]
+                  + [ray_spec] * 8),
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH, block_rows), jnp.int32),
+                        pltpu.SMEM((block_rows, LEAF_BUFN), jnp.int32),
+                        pltpu.SMEM((block_rows,), jnp.int32),
+                        pltpu.VMEM((block_rows, 8), jnp.float32)],
+        interpret=interpret,
+    )(bounds, meta, *tri_args, *planes)
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
