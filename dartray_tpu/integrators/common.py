@@ -98,6 +98,81 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     return ld
 
 
+def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
+                  mask, flags=bx.ALL & ~bx.SPECULAR):
+    """Next-event estimation toward one uniformly chosen light — the
+    light-sampling HALF of EstimateDirect (integrator.dart:119-152). The
+    BSDF-sampling half is folded into the path-extension ray instead (the
+    wavefront restructure: one closest-hit ray serves both path extension and
+    MIS light hits, so each bounce costs 2 traversals, not 3).
+
+    The MIS weight compares the full NEE direction pdf (light pdf / nLights)
+    against the BSDF pdf, matching the weight applied to emitter hits on the
+    extension ray in integrators/path.py. `mask`: lanes that need a shadow
+    ray; dead lanes get tmax < tmin so the sorted traversal skips them."""
+    geom = scene.geometry
+    lt = scene.lights
+    n_lights = lt.n
+    if n_lights == 0:
+        return jnp.zeros(it["p"].shape, jnp.float32)
+    light_idx = jnp.minimum((u_select * n_lights).astype(jnp.int32),
+                            n_lights - 1)
+    p = it["p"]
+    eps = st.ray_epsilon(it["t"])
+    ns = frame.n
+    ls = lt_mod.sample_li(lt, geom, light_idx, p, u_light, uc_light)
+    f_l = bx.f(params, frame, wo, ls.wi, flags)
+    cos_l = vm.absdot(ls.wi, ns)
+    usable = mask & (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
+        & jnp.any(f_l != 0.0, axis=-1)
+    sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps)
+    sray = sray._replace(tmax=jnp.where(usable, sray.tmax, -1.0))
+    occluded = st.intersect_p(geom, sray)
+    pdf_nee = ls.pdf / float(n_lights)
+    bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
+    w_l = jnp.where(ls.is_delta, 1.0,
+                    smp.power_heuristic(1.0, pdf_nee, 1.0, bsdf_pdf))
+    contrib = f_l * ls.li * (cos_l * w_l
+                             / jnp.maximum(pdf_nee, 1e-20))[:, None]
+    return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
+
+
+def emitter_hit_mis(scene, cur, hits, it, prev_pdf, prev_specular,
+                    first_vertex):
+    """MIS-weighted emitted radiance gathered by the path-extension ray
+    (the BSDF-sampling half of EstimateDirect: integrator.dart:153-185,
+    evaluated at the extension hit instead of with a dedicated ray).
+
+    Returns (R, 3): weighted Le for lanes whose extension ray hit an emissive
+    prim or escaped to the infinite light. first_vertex / prev_specular lanes
+    get weight 1 (delta-sampled or primary visibility)."""
+    lt = scene.lights
+    geom = scene.geometry
+    if lt is None or lt.n == 0:
+        return jnp.zeros(cur.o.shape, jnp.float32)
+    n_l = float(lt.n)
+    out = jnp.zeros(cur.o.shape, jnp.float32)
+    # emissive surface hit
+    le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
+    lid = jnp.where(hits.prim >= 0,
+                    geom.light_id[jnp.maximum(hits.prim, 0)], -1)
+    cos_hit = vm.absdot(it["ng"], it["wo"])
+    pdf_area = lt_mod.pdf_li_area(lt, jnp.maximum(lid, 0), cur.o, cur.d,
+                                  hits.t, cos_hit) / n_l
+    w_surf = jnp.where(first_vertex | prev_specular, 1.0,
+                       smp.power_heuristic(1.0, prev_pdf, 1.0, pdf_area))
+    out = out + jnp.where((lid >= 0)[:, None], le * w_surf[:, None], 0.0)
+    # escaped to the environment light
+    if lt.env_light_index >= 0:
+        le_env = lt_mod.env_le(lt, cur.d)
+        pdf_env = lt_mod.env_pdf(lt, cur.d) / n_l
+        w_env = jnp.where(first_vertex | prev_specular, 1.0,
+                          smp.power_heuristic(1.0, prev_pdf, 1.0, pdf_env))
+        out = out + jnp.where((hits.prim < 0)[:, None],
+                              le_env * w_env[:, None], 0.0)
+    return out
+
+
 def uniform_sample_one_light(scene, it, frame, params, wo, u_select,
                              u_light, uc_light, u_bsdf, uc_bsdf,
                              flags=bx.ALL & ~bx.SPECULAR):

@@ -39,10 +39,21 @@ class PathIntegrator:
 
 def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
        skip_direct: bool = False):
-    """skip_direct: omit camera-vertex direct light (bounce-0 Le and NEE) —
-    the Metropolis renderer's dodirectseparately split
-    (metropolis_renderer.dart:86-109); specular-prefix direct paths remain
-    (they are not captured by the companion direct pass)."""
+    """Wavefront path tracer, single-BSDF-sample MIS formulation.
+
+    Estimator restructure vs path_integrator.dart:44-119 (which calls
+    EstimateDirect with its OWN BSDF sample each bounce, i.e. 3 traversals
+    per bounce): here the path-extension ray doubles as the MIS BSDF-sample
+    ray — emitter hits on it are weighted by power-heuristic against the NEE
+    pdf (common.emitter_hit_mis), and NEE traces only the shadow ray
+    (common.nee_one_light). 2 traversals per bounce, statistically the same
+    MIS estimator. Dead lanes carry tmax < tmin so the sorted Pallas
+    traversal skips them (compaction without gathers).
+
+    skip_direct: omit camera-vertex direct light (bounce-0 Le and the first
+    vertex's direct illumination, whether sampled by NEE or by the extension
+    ray) — the Metropolis renderer's dodirectseparately split
+    (metropolis_renderer.dart:86-109); specular-prefix paths remain."""
     geom = scene.geometry
     lt = scene.lights
     r = rays.o.shape[0]
@@ -50,42 +61,43 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     throughput = jnp.ones((r, 3), jnp.float32)
     active = jnp.ones((r,), bool)
     specular_bounce = jnp.zeros((r,), bool)
+    prev_pdf = jnp.zeros((r,), jnp.float32)
     cur = rays
 
     for bounce in range(ig.max_depth + 1):
         dim = 5 + bounce * 10
-        hits = st.intersect(geom, cur)
+        hits = st.intersect(geom, cur, sort=bounce > 0)
         hit = hits.hit & active
-        if skip_direct and bounce == 0:
-            add_emitted = specular_bounce   # i.e. all-False at bounce 0
-        else:
-            add_emitted = (bounce == 0) | specular_bounce
-        # escaped rays: sum of light Le (env) when emission is countable
-        if lt is not None and lt.env_light_index >= 0:
-            L = L + jnp.where((active & ~hits.hit & add_emitted)[:, None],
-                              throughput * lt_mod.env_le(lt, cur.d), 0.0)
         it = st.interaction(geom, cur, hits)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
+        # emitted light gathered by the extension ray (MIS weighted)
         if lt is not None:
-            le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
-            L = L + jnp.where((hit & add_emitted)[:, None],
-                              throughput * le, 0.0)
+            first = bounce == 0
+            le_w = common.emitter_hit_mis(scene, cur, hits, it, prev_pdf,
+                                          specular_bounce, first)
+            if skip_direct and bounce == 0:
+                gate = jnp.zeros((r,), bool)
+            elif skip_direct and bounce == 1:
+                gate = active & specular_bounce
+            else:
+                gate = active
+            L = L + jnp.where(gate[:, None], throughput * le_w, 0.0)
         params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                      scene.textures, it)
         wo = it["wo"]
-        # NEE: one light, MIS
+        # NEE: one light, shadow ray only (MIS partner is the extension ray)
         if lt is not None and lt.n > 0 and not (skip_direct and bounce == 0):
             sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
                                              sctx["py"], sctx["s_idx"], d)
             sd2 = lambda d: smp_mod.sample_2d(sctx["sampler"], sctx["px"],
                                               sctx["py"], sctx["s_idx"], d)
-            ld = common.uniform_sample_one_light(
-                scene, it, frame, params, wo,
-                sd(dim), sd2(dim + 1), sd(dim + 3), sd2(dim + 4), sd(dim + 6))
+            ld = common.nee_one_light(scene, it, frame, params, wo,
+                                      sd(dim), sd2(dim + 1), sd(dim + 3),
+                                      mask=hit)
             L = L + jnp.where(hit[:, None], throughput * ld, 0.0)
         if bounce == ig.max_depth:
             break
-        # BSDF sampling for the next ray
+        # BSDF sampling for the next ray (also the MIS light-hit sample)
         u_b = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
                                 sctx["s_idx"], dim + 7)
         uc_b = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
@@ -105,11 +117,12 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
             cont = cont & survive
         throughput = jnp.where(cont[:, None], new_tp, throughput)
         specular_bounce = (bs.flags & bx.SPECULAR) != 0
+        prev_pdf = bs.pdf
         eps = st.ray_epsilon(it["t"])
         ng_f = vm.face_forward(it["ng"], bs.wi)
         cur = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
                       tmin=jnp.zeros((r,), jnp.float32),
-                      tmax=jnp.full((r,), jnp.inf, jnp.float32),
+                      tmax=jnp.where(cont, jnp.inf, -1.0),
                       time=cur.time)
         active = cont
     return L

@@ -43,7 +43,7 @@ STACK_DEPTH = 128
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["bounds", "meta", "tv0", "te1", "te2"],
+         data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2"],
          meta_fields=["n_nodes", "n_clusters", "k"])
 @dataclasses.dataclass
 class PackedBVH:
@@ -51,12 +51,16 @@ class PackedBVH:
 
     bounds: (N, 8) f32 [lox loy loz hix hiy hiz 0 0]
     meta:   (N, 4) i32 [child0, child1, axis, 0]; leaf: child0 = -(cluster+1)
+    meta2:  (N, 2) i32 [c0*4+axis (interior) | -(cluster+1) (leaf), child1]
+            — compact form; SMEM scalars cost 128 B each, so table width
+            matters for SMEM residency.
     tv0/te1/te2: 3 x (C, K) per xyz component -> stored as (3, C, K) stacks
     Triangle j of cluster c sits at permuted prim id c*K + j; padded slots are
     degenerate (all-zero edges -> det 0 -> never hit).
     """
     bounds: jnp.ndarray
     meta: jnp.ndarray
+    meta2: jnp.ndarray
     tv0: jnp.ndarray   # (3, C, K)
     te1: jnp.ndarray
     te2: jnp.ndarray
@@ -80,6 +84,10 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     meta = np.zeros((n, 4), np.int32)
     meta[:, 0:2] = np.asarray(node_child, np.int32)
     meta[:, 2] = np.asarray(node_axis, np.int32)
+    meta2 = np.zeros((n, 2), np.int32)
+    is_leaf = meta[:, 0] < 0
+    meta2[:, 0] = np.where(is_leaf, meta[:, 0], meta[:, 0] * 4 + meta[:, 2])
+    meta2[:, 1] = meta[:, 1]
     tid = np.asarray(tid, np.int32)
     pad = tid < 0
     v0 = np.where(pad[..., None], 0.0, np.asarray(tv0, np.float32))
@@ -88,6 +96,7 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     c, k = tid.shape
     packed = PackedBVH(
         bounds=jnp.asarray(bounds), meta=jnp.asarray(meta),
+        meta2=jnp.asarray(meta2),
         tv0=jnp.asarray(np.moveaxis(v0, -1, 0).copy()),
         te1=jnp.asarray(np.moveaxis(e1, -1, 0).copy()),
         te2=jnp.asarray(np.moveaxis(e2, -1, 0).copy()),
@@ -311,6 +320,230 @@ def traverse(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 LEAF_BUFN = 8
 
 
+def _kernel4(bounds_ref, meta_ref,
+             v0x_ref, v0y_ref, v0z_ref,
+             e1x_ref, e1y_ref, e1z_ref,
+             e2x_ref, e2y_ref, e2z_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tmin_ref, tmax_ref,
+             t_out, prim_out,
+             stack_ref, lbuf_ref, lcnt_ref, spill_ref,
+             *, k: int, rows: int, any_hit: bool, null_node: int,
+             null_cluster: int):
+    """v4 = v2 (independent 128-ray packet per sublane row) with node meta in
+    SMEM and the index-packed winner fold. See _kernel2 docs."""
+    P = rows
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+
+    half = jnp.float32(64.0)
+    negf = jnp.concatenate(
+        [jnp.sum(jnp.where(dx < 0, 1.0, 0.0), axis=1, keepdims=True),
+         jnp.sum(jnp.where(dy < 0, 1.0, 0.0), axis=1, keepdims=True),
+         jnp.sum(jnp.where(dz < 0, 1.0, 0.0), axis=1, keepdims=True)],
+        axis=1)                                     # (P, 3)
+    spill_ref[:, 0:3] = negf
+    neg_r = [[spill_ref[r, a] > half for a in range(3)] for r in range(P)]
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((P, 128), -1, jnp.int32)
+    for r in range(P):
+        stack_ref[0, r] = jnp.int32(0)
+        lcnt_ref[r] = jnp.int32(0)
+
+    o3 = (ox.reshape(1, P, 128), oy.reshape(1, P, 128),
+          oz.reshape(1, P, 128))
+    d3 = (dx.reshape(1, P, 128), dy.reshape(1, P, 128),
+          dz.reshape(1, P, 128))
+    tmin3 = tmin.reshape(1, P, 128)
+
+    def flush(t_best, prim):
+        cnts = [lcnt_ref[r] for r in range(P)]
+        max_cnt = functools.reduce(jnp.maximum, cnts)
+
+        def round_fn(i, carry):
+            t_best, prim = carry
+            cids = [jnp.where(i < lcnt_ref[r], lbuf_ref[r, i],
+                              jnp.int32(null_cluster)) for r in range(P)]
+
+            def cols(ref):
+                rows_ = [ref[pl.ds(cids[r], 1), :] for r in range(P)]
+                m = jnp.concatenate(rows_, axis=0)          # (P, K)
+                return jnp.transpose(m, (1, 0)).reshape(k, P, 1)
+
+            v0 = (cols(v0x_ref), cols(v0y_ref), cols(v0z_ref))
+            e1 = (cols(e1x_ref), cols(e1y_ref), cols(e1z_ref))
+            e2 = (cols(e2x_ref), cols(e2y_ref), cols(e2z_ref))
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            live = alive if not any_hit else (alive & (prim < 0))
+            tm = jnp.where(live.reshape(1, P, 128), tm,
+                           jnp.float32(jnp.inf))
+            base = jnp.zeros((P, 128), jnp.int32)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+            for r in range(P):
+                base = jnp.where(rsel == r, cids[r] * k, base)
+            return _fold_packed(tm, t_best, prim, base, k)
+
+        t_best, prim = jax.lax.fori_loop(0, max_cnt, round_fn,
+                                         (t_best, prim))
+        for r in range(P):
+            lcnt_ref[r] = jnp.int32(0)
+        return t_best, prim
+
+    def node_steps(sp, t_best, prim):
+        def cond(st):
+            sp, t_best, prim, full = st
+            return (sp > 0) & ~full
+
+        def body(st):
+            sp, t_best, prim, _ = st
+            sp = sp - 1
+            node_r = [stack_ref[sp, r] for r in range(P)]
+            brows = [bounds_ref[pl.ds(node_r[r], 1), :] for r in range(P)]
+            B = jnp.concatenate(brows, axis=0)           # (P, 8)
+            lox, loy, loz = B[:, 0:1], B[:, 1:2], B[:, 2:3]
+            hix, hiy, hiz = B[:, 3:4], B[:, 4:5], B[:, 5:6]
+            t0x = (lox - ox) * ix
+            t1x = (hix - ox) * ix
+            t0y = (loy - oy) * iy
+            t1y = (hiy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1z = (hiz - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            if any_hit:
+                slab = (tn <= tf) & alive & (prim < 0)
+            else:
+                slab = (tn <= tf) & alive
+            nhit_v = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=1,
+                             keepdims=True)               # (P, 1)
+            spill_ref[:, 4:5] = nhit_v
+            any_push = jnp.bool_(False)
+            full = jnp.bool_(False)
+            for r in range(P):
+                valid_r = node_r[r] != null_node
+                nhit_r = (spill_ref[r, 4] > 0.5) & valid_r
+                m0 = meta_ref[node_r[r], 0]
+                c1 = meta_ref[node_r[r], 1]
+                is_leaf = m0 < 0
+                c0 = m0 >> 2
+                ax = m0 & 3
+                push_r = nhit_r & ~is_leaf
+                neg = jnp.where(ax == 0, neg_r[r][0],
+                                jnp.where(ax == 1, neg_r[r][1], neg_r[r][2]))
+                near = jnp.where(neg, c1, c0)
+                far = jnp.where(neg, c0, c1)
+                stack_ref[sp, r] = jnp.where(push_r, far,
+                                             jnp.int32(null_node))
+                stack_ref[sp + 1, r] = jnp.where(push_r, near,
+                                                 jnp.int32(null_node))
+                any_push = any_push | push_r
+                take = nhit_r & is_leaf
+                cnt = lcnt_ref[r]
+
+                @pl.when(take)
+                def _():
+                    lbuf_ref[r, cnt] = -m0 - 1
+                    lcnt_ref[r] = cnt + 1
+
+                full = full | (jnp.where(take, cnt + 1, cnt)
+                               >= LEAF_BUFN)
+            sp = sp + jnp.where(any_push, 2, 0)
+            if any_hit:
+                done_all = jnp.all((prim >= 0) | ~alive)
+                sp = jnp.where(done_all, 0, sp)
+            return sp, t_best, prim, full
+
+        return jax.lax.while_loop(cond, body,
+                                  (sp, t_best, prim, jnp.bool_(False)))
+
+    def outer_cond(st):
+        sp, t_best, prim = st
+        return sp > 0
+
+    def outer_body(st):
+        sp, t_best, prim = st
+        sp, t_best, prim, _ = node_steps(sp, t_best, prim)
+        t_best, prim = flush(t_best, prim)
+        return sp, t_best, prim
+
+    sp, t_best, prim = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(1), t0, prim0))
+    t_out[:] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[:] = prim
+
+
+def _null_extended(bvh: PackedBVH, compact: bool = False):
+    """bounds/meta/tris with sentinel rows appended (null node + cluster)."""
+    bounds = jnp.concatenate(
+        [bvh.bounds,
+         jnp.asarray([[jnp.inf] * 3 + [-jnp.inf] * 3 + [0, 0]],
+                     jnp.float32)])
+    if compact:
+        meta = jnp.concatenate([bvh.meta2,
+                                jnp.asarray([[4, 1]], jnp.int32)])
+    else:
+        meta = jnp.concatenate([bvh.meta,
+                                jnp.asarray([[1, 1, 0, 0]], jnp.int32)])
+
+    def with_null(arr3):
+        z = jnp.zeros((1, bvh.k), arr3.dtype)
+        return [jnp.concatenate([arr3[c], z]) for c in range(3)]
+
+    tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
+                + with_null(bvh.te2))
+    return bounds, meta, tri_args
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
+                                   "meta_smem"))
+def traverse4(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+              block_rows: int = 8, interpret: bool = False,
+              meta_smem: bool | None = None):
+    """v4: per-packet stacks + SMEM meta + packed fold."""
+    planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
+    bounds, meta, tri_args = _null_extended(bvh, compact=True)
+    full = lambda a, ms=pltpu.VMEM: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=ms)
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if meta_smem is None:
+        meta_smem = bvh.n_nodes + 1 <= SMEM_META_MAX
+    meta_space = pltpu.SMEM if meta_smem else pltpu.VMEM
+
+    kern = partial(_kernel4, k=bvh.k, rows=block_rows, any_hit=any_hit,
+                   null_node=bvh.n_nodes, null_cluster=bvh.n_clusters)
+    t, prim = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        out_shape=(jax.ShapeDtypeStruct(shape2, jnp.float32),
+                   jax.ShapeDtypeStruct(shape2, jnp.int32)),
+        in_specs=([full(bounds), full(meta, meta_space)]
+                  + [full(a) for a in tri_args]
+                  + [ray_spec] * 8),
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH, block_rows), jnp.int32),
+                        pltpu.SMEM((block_rows, LEAF_BUFN), jnp.int32),
+                        pltpu.SMEM((block_rows,), jnp.int32),
+                        pltpu.VMEM((block_rows, 8), jnp.float32)],
+        interpret=interpret,
+    )(bounds, meta, *tri_args, *planes)
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
 def _kernel2(bounds_ref, meta_ref,
              v0x_ref, v0y_ref, v0z_ref,
              e1x_ref, e1y_ref, e1z_ref,
@@ -503,6 +736,282 @@ def _kernel2(bounds_ref, meta_ref,
     prim_out[:] = prim
 
 
+# ---------------------------------------------------------------------------
+# Kernel v3: leaf-cluster BUFFERING — the node-step while_loop does nothing
+# but slab tests + stack ops (no lax.cond leaf branch: Mosaic's cond costs
+# show up in the hot loop), buffering hit leaf cluster ids in SMEM; a flush
+# pass then runs the dense MT tests back-to-back. Node meta (children+axis)
+# lives in SMEM when it fits (scalar loads off the scalar core instead of
+# VMEM round-trips). Winner selection packs the candidate index into the low
+# 7 mantissa bits of t so one jnp.min over the K axis yields both t and the
+# triangle index (IEEE floats >= 0 compare like their bit patterns).
+# Block topology = v1 (one stack per rows x 128 block): best for coherent
+# (camera/shadow) wavefronts. v4 below is the per-packet variant for bounce
+# rays.
+# ---------------------------------------------------------------------------
+
+IDX_BITS = 7            # K <= 128
+IDX_MASK = (1 << IDX_BITS) - 1
+
+
+def _mt_dense(o3, d3, tmin3, v0, e1, e2, k):
+    """Dense Moeller-Trumbore: tri cols (K,1,1)x9 vs rays (1,R,128).
+
+    Returns t (K,R,128) with +inf on miss."""
+    px = d3[1] * e2[2] - d3[2] * e2[1]
+    py = d3[2] * e2[0] - d3[0] * e2[2]
+    pz = d3[0] * e2[1] - d3[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
+    tx = o3[0] - v0[0]
+    ty = o3[1] - v0[1]
+    tz = o3[2] - v0[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (d3[0] * qx + d3[1] * qy + d3[2] * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+    ok = ((jnp.abs(det) >= TRI_EPS)
+          & (u >= -BARY_EPS) & (v >= -BARY_EPS)
+          & (u + v <= 1.0 + BARY_EPS)
+          & (t > tmin3))
+    return jnp.where(ok, t, jnp.float32(jnp.inf))
+
+
+def _fold_packed(tm, t_best, prim, base, k):
+    """Winner fold via index-packed bit trick.
+
+    tm: (K, R, 128) candidate t (inf = miss, all > 0); base: scalar or
+    (R,128) permuted-prim base id. Packs j into the low IDX_BITS of the f32
+    bit pattern (clears them first — rounds t DOWN by <= 127 ulps, harmless
+    for culling/selection; exact t/u/v are recomputed outside the kernel)."""
+    ti = jax.lax.bitcast_convert_type(tm, jnp.int32)
+    j = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    ti = (ti & ~IDX_MASK) | j
+    twin_i = jnp.min(ti, axis=0)                     # (R, 128)
+    j_win = twin_i & IDX_MASK
+    t_win = jax.lax.bitcast_convert_type(twin_i & ~IDX_MASK, jnp.float32)
+    better = t_win < t_best
+    t_best = jnp.where(better, t_win, t_best)
+    prim = jnp.where(better, base + j_win, prim)
+    return t_best, prim
+
+
+LBUF3 = 16
+
+
+def _kernel3(bounds_ref, meta_ref,
+             v0x_ref, v0y_ref, v0z_ref,
+             e1x_ref, e1y_ref, e1z_ref,
+             e2x_ref, e2y_ref, e2z_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tmin_ref, tmax_ref,
+             t_out, prim_out, *rest,
+             k: int, rows: int, any_hit: bool, counters: bool = False):
+    if counters:
+        cnt_out, stack_ref, lbuf_ref = rest
+    else:
+        stack_ref, lbuf_ref = rest
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+    half = jnp.float32(rows * 128 / 2)
+    negx = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) > half
+    negy = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) > half
+    negz = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) > half
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((rows, 128), -1, jnp.int32)
+    stack_ref[0] = jnp.int32(0)
+
+    o3 = (ox.reshape(1, rows, 128), oy.reshape(1, rows, 128),
+          oz.reshape(1, rows, 128))
+    d3 = (dx.reshape(1, rows, 128), dy.reshape(1, rows, 128),
+          dz.reshape(1, rows, 128))
+    tmin3 = tmin.reshape(1, rows, 128)
+
+    def node_steps(sp, nlb, t_best, prim, nsteps):
+        def cond(st):
+            sp, nlb, t_best, nsteps = st
+            live = (sp > 0) & (nlb < LBUF3)
+            return live
+
+        def body(st):
+            sp, nlb, t_best, nsteps = st
+            nsteps = nsteps + 1
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            lox = bounds_ref[node, 0]
+            loy = bounds_ref[node, 1]
+            loz = bounds_ref[node, 2]
+            hix = bounds_ref[node, 3]
+            hiy = bounds_ref[node, 4]
+            hiz = bounds_ref[node, 5]
+            t0x = (lox - ox) * ix
+            t1x = (hix - ox) * ix
+            t0y = (loy - oy) * iy
+            t1y = (hiy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1z = (hiz - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            if any_hit:
+                slab_hit = (tn <= tf) & alive & (prim < 0)
+            else:
+                slab_hit = (tn <= tf) & alive
+            nhit = jnp.any(slab_hit)
+            m0 = meta_ref[node, 0]
+            c1 = meta_ref[node, 1]
+            is_leaf = m0 < 0
+            c0 = m0 >> 2
+            axis = m0 & 3
+            neg = jnp.where(axis == 0, negx,
+                            jnp.where(axis == 1, negy, negz))
+            near = jnp.where(neg, c1, c0)
+            far = jnp.where(neg, c0, c1)
+            do_push = nhit & ~is_leaf
+            take = nhit & is_leaf
+
+            @pl.when(do_push)
+            def _():
+                stack_ref[sp] = far
+                stack_ref[sp + 1] = near
+
+            @pl.when(take)
+            def _():
+                lbuf_ref[nlb] = -m0 - 1
+
+            sp = sp + jnp.where(do_push, 2, 0)
+            nlb = nlb + jnp.where(take, 1, 0)
+            return sp, nlb, t_best, nsteps
+
+        return jax.lax.while_loop(cond, body, (sp, nlb, t_best, nsteps))
+
+    def flush(nlb, t_best, prim):
+        def round_fn(i, carry):
+            t_best, prim = carry
+            cid = lbuf_ref[i]
+
+            def col(ref):
+                row = ref[pl.ds(cid, 1), :]
+                return jnp.transpose(row, (1, 0)).reshape(k, 1, 1)
+
+            v0 = (col(v0x_ref), col(v0y_ref), col(v0z_ref))
+            e1 = (col(e1x_ref), col(e1y_ref), col(e1z_ref))
+            e2 = (col(e2x_ref), col(e2y_ref), col(e2z_ref))
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            if any_hit:
+                tm = jnp.where((alive & (prim < 0)).reshape(1, rows, 128),
+                               tm, jnp.float32(jnp.inf))
+            return _fold_packed(tm, t_best, prim, cid * k, k)
+
+        return jax.lax.fori_loop(0, nlb, round_fn, (t_best, prim))
+
+    def outer_cond(st):
+        sp, nlb, t_best, prim, nsteps, nleaf = st
+        live = (sp > 0) | (nlb > 0)
+        if any_hit:
+            live = live & ~jnp.all((prim >= 0) | ~alive)
+        return live
+
+    def outer_body(st):
+        sp, nlb, t_best, prim, nsteps, nleaf = st
+        sp, nlb, t_best, nsteps = node_steps(sp, nlb, t_best, prim, nsteps)
+        t_best, prim = flush(nlb, t_best, prim)
+        return sp, jnp.int32(0), t_best, prim, nsteps, nleaf + nlb
+
+    _, _, t_best, prim, nsteps, nleaf = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(1), jnp.int32(0), t0, prim0, jnp.int32(0), jnp.int32(0)))
+    t_out[:] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[:] = prim
+    if counters:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        cnt_out[:] = jnp.where(sub == 0, nsteps,
+                               jnp.where(sub == 1, nleaf, 0))
+
+
+# SMEM scalars are allocated 128 B apiece out of a 1 MiB budget; a (N,2) i32
+# table costs N*256 B, and the stack/leaf scratch need room too.
+SMEM_META_MAX = 2400    # nodes whose (N,2) meta2 still fits SMEM
+
+
+def _plane_blocks(o, d, tmin, tmax, block_rows):
+    r = o.shape[0]
+    b = block_rows * 128
+    rp = -(-r // b) * b
+    o = _pad_to(o, rp, 0.0)
+    d = _pad_to(d, rp, 1.0)
+    tmin = _pad_to(tmin, rp, 0.0)
+    tmax = _pad_to(tmax, rp, -1.0)
+    shape2 = (rp // 128, 128)
+    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              tmin, tmax]
+    return [p.reshape(shape2) for p in planes], shape2, rp // b, r
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
+                                   "meta_smem", "counters"))
+def traverse3(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+              block_rows: int = 8, interpret: bool = False,
+              meta_smem: bool | None = None, counters: bool = False):
+    """v3: leaf-buffered block traversal. Returns (t, permuted prim)
+    (+ per-block (steps, leaf-rounds) counter array when counters=True)."""
+    planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
+    full = lambda a, ms=pltpu.VMEM: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=ms)
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tri_args = []
+    tri_specs = []
+    for arr in (bvh.tv0, bvh.te1, bvh.te2):
+        for c in range(3):
+            tri_args.append(arr[c])
+            tri_specs.append(full(arr[c]))
+    if meta_smem is None:
+        meta_smem = bvh.n_nodes <= SMEM_META_MAX
+    meta_space = pltpu.SMEM if meta_smem else pltpu.VMEM
+
+    out_shape = [jax.ShapeDtypeStruct(shape2, jnp.float32),
+                 jax.ShapeDtypeStruct(shape2, jnp.int32)]
+    out_specs = [ray_spec, ray_spec]
+    if counters:
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kern = partial(_kernel3, k=bvh.k, rows=block_rows, any_hit=any_hit,
+                   counters=counters)
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        out_shape=tuple(out_shape),
+        in_specs=([full(bvh.bounds), full(bvh.meta2, meta_space)]
+                  + tri_specs + [ray_spec] * 8),
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SMEM((LBUF3,), jnp.int32)],
+        interpret=interpret,
+    )(bvh.bounds, bvh.meta2, *tri_args, *planes)
+    t, prim = res[0], res[1]
+    if counters:
+        return t.reshape(-1)[:r], prim.reshape(-1)[:r], res[2]
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
 @partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret"))
 def traverse2(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
               block_rows: int = 8, interpret: bool = False):
@@ -560,3 +1069,92 @@ def traverse2(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
         interpret=interpret,
     )(bounds, meta, *tri_args, *planes)
     return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
+# ---------------------------------------------------------------------------
+# Wavefront glue: ray sorting + exact hit finishing (host-of-kernel XLA ops).
+# ---------------------------------------------------------------------------
+
+def _morton_spread(x):
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def sort_order(o, d, tmin, tmax, lo, hi):
+    """Coherence-sort permutation for a ray wavefront.
+
+    Key (most significant first): dead flag | direction octant (3 bits) |
+    30-bit Morton code of the origin quantized into the scene bounds. Dead
+    rays (tmax < tmin) sort last, so whole trailing blocks short-circuit in
+    the traversal kernel — compaction without dynamic shapes."""
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
+                 0.0, 1023.0).astype(jnp.int32)
+    m = (_morton_spread(q[:, 0]) | (_morton_spread(q[:, 1]) << 1)
+         | (_morton_spread(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0) * 1 + (d[:, 1] < 0) * 2
+              + (d[:, 2] < 0) * 4).astype(jnp.int32)
+    dead = (tmax < tmin).astype(jnp.int32)
+    key = (dead.astype(jnp.int64) << 34) | (octant.astype(jnp.int64) << 30) \
+        | m.astype(jnp.int64)
+    return jnp.argsort(key)
+
+
+def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
+    """Exact (t, b1, b2) + original prim ids for kernel winners.
+
+    The kernel's packed fold rounds t by <=127 ulps and drops barycentrics;
+    one gathered full-precision Moeller-Trumbore evaluation per ray restores
+    exact values (reference triangle.dart:44-160 semantics)."""
+    hit = prim_p >= 0
+    pp = jnp.maximum(prim_p, 0)
+    cid = pp // bvh.k
+    j = pp % bvh.k
+    v0 = bvh.tv0[:, cid, j].T
+    e1 = bvh.te1[:, cid, j].T
+    e2 = bvh.te2[:, cid, j].T
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    prim = jnp.where(hit, perm[pp], -1)
+    t_out = jnp.where(hit, t, jnp.float32(jnp.inf))
+    return t_out, prim, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+
+
+# kernel/config chosen from the on-chip sweep (tools/exp_traverse_pallas.py)
+DEFAULT_KERNEL = dict(closest="v4", any="v3", block_rows=8)
+
+
+def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
+                   any_hit: bool = False, sort: bool = True,
+                   kernel: str | None = None):
+    """Full traversal pipeline: sort -> Pallas kernel -> unsort -> finish.
+
+    Returns (t, prim, b1, b2) in the ORIGINAL ray order; prim indexes the
+    original triangle soup (-1 miss). For any_hit, b1/b2 are zeros and t is
+    the (approximate) blocker distance."""
+    which = kernel or DEFAULT_KERNEL["any" if any_hit else "closest"]
+    fn = {"v1": traverse, "v2": traverse2, "v3": traverse3,
+          "v4": traverse4}[which]
+    br = DEFAULT_KERNEL["block_rows"]
+    if sort:
+        order = sort_order(o, d, tmin, tmax, lo, hi)
+        t_s, prim_s = fn(bvh, o[order], d[order], tmin[order], tmax[order],
+                         any_hit=any_hit, block_rows=br)
+        n = o.shape[0]
+        t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
+        prim_p = jnp.full((n,), -1, jnp.int32).at[order].set(prim_s)
+    else:
+        t, prim_p = fn(bvh, o, d, tmin, tmax, any_hit=any_hit, block_rows=br)
+    if any_hit:
+        z = jnp.zeros_like(t)
+        return t, jnp.where(prim_p >= 0, perm[jnp.maximum(prim_p, 0)], -1), \
+            z, z
+    return finish_hits(bvh, perm, o, d, tmin, t, prim_p)

@@ -26,12 +26,29 @@ from .. import film as film_mod
 from .. import samplers as smp_mod
 
 
-def pixel_grid(width, height, x0=0, y0=0):
+def pixel_grid(width, height, x0=0, y0=0, morton: bool = True):
     """Flattened pixel index arrays for a film window (GetSubWindow analog:
-    a shard renders [x0, x0+width) x [y0, y0+height))."""
+    a shard renders [x0, x0+width) x [y0, y0+height)).
+
+    morton: order pixels along a Z-curve so consecutive 128-ray packets are
+    compact image tiles (~12x11 px), maximizing camera-packet frustum
+    coherence for the traversal kernel. Pure host-side reordering — the film
+    scatter-add is order-independent."""
     ys, xs = np.meshgrid(np.arange(height, dtype=np.int32),
                          np.arange(width, dtype=np.int32), indexing="ij")
-    return (jnp.asarray(xs.reshape(-1) + x0), jnp.asarray(ys.reshape(-1) + y0))
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    if morton and width > 1 and height > 1:
+        def spread(v):
+            v = (v | (v << 8)) & 0x00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F
+            v = (v | (v << 2)) & 0x33333333
+            v = (v | (v << 1)) & 0x55555555
+            return v
+        key = spread(xs.astype(np.int64)) | (spread(ys.astype(np.int64)) << 1)
+        order = np.argsort(key, kind="stable")
+        xs, ys = xs[order], ys[order]
+    return (jnp.asarray(xs + x0), jnp.asarray(ys + y0))
 
 
 def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,

@@ -24,7 +24,7 @@ from . import mesh as mesh_mod
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cl", "v0", "e1", "e2", "vn", "uv",
+         data_fields=["cl", "packed", "perm", "v0", "e1", "e2", "vn", "uv",
                       "mat_id", "light_id", "world_bound"],
          meta_fields=["n_prims", "n_nodes"])
 @dataclasses.dataclass
@@ -35,8 +35,14 @@ class Geometry:
     when the mesh has none); uv: (F, 3, 2) per-corner uv (barycentric default
     when absent). mat_id/light_id: (F,) int32 indices into material/light
     tables (light_id -1 = not emissive).
+
+    Two accelerator representations are carried: ``cl`` (ClusterBVH, the
+    XLA while_loop traversal — CPU tests + fallback) and ``packed``/``perm``
+    (ops.traverse_pallas.PackedBVH — the Pallas TPU megakernel path).
     """
-    cl: Any                  # accel.cluster.ClusterBVH (the hot traversal)
+    cl: Any                  # accel.cluster.ClusterBVH (XLA traversal)
+    packed: Any              # ops.traverse_pallas.PackedBVH or None
+    perm: Optional[jnp.ndarray]   # (C*K,) permuted prim id -> original
     v0: jnp.ndarray
     e1: jnp.ndarray
     e2: jnp.ndarray
@@ -100,8 +106,14 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     e2 = np.concatenate(e2s)
     cb = cluster_mod.build(v0, e1, e2, split_method=split_method)
     wb = np.stack([np.asarray(cb.node_lo[0]), np.asarray(cb.node_hi[0])])
+    from ..ops import traverse_pallas as tp
+    packed, perm = tp.pack(np.asarray(cb.node_lo), np.asarray(cb.node_hi),
+                           np.asarray(cb.node_child),
+                           np.asarray(cb.node_axis),
+                           np.asarray(cb.tri_v0), np.asarray(cb.tri_e1),
+                           np.asarray(cb.tri_e2), np.asarray(cb.tri_id))
     return Geometry(
-        cl=cb,
+        cl=cb, packed=packed, perm=jnp.asarray(perm),
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         vn=jnp.asarray(np.concatenate(vns)),
         uv=jnp.asarray(np.concatenate(uvs)),
@@ -111,14 +123,32 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes)
 
 
-def intersect(geom: "Geometry", rays):
+def _use_pallas(geom) -> bool:
+    return geom.packed is not None and jax.default_backend() == "tpu"
+
+
+def intersect(geom: "Geometry", rays, sort: bool = True):
     """Closest-hit over the scene accelerator (Scene.intersect,
-    lib/core/scene.dart:51)."""
+    lib/core/scene.dart:51). On TPU this runs the Pallas megakernel over a
+    coherence-sorted wavefront; elsewhere the XLA packet traversal."""
+    if _use_pallas(geom):
+        from ..ops import traverse_pallas as tp
+        t, prim, b1, b2 = tp.intersect_rays(
+            geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
+            rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False, sort=sort)
+        from ..accel.traverse import Hits
+        return Hits(t=t, prim=prim, b1=b1, b2=b2)
     return cluster_mod.intersect(geom.cl, rays)
 
 
-def intersect_p(geom: "Geometry", rays):
+def intersect_p(geom: "Geometry", rays, sort: bool = True):
     """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
+    if _use_pallas(geom):
+        from ..ops import traverse_pallas as tp
+        t, prim, _, _ = tp.intersect_rays(
+            geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
+            rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True, sort=sort)
+        return prim >= 0
     return cluster_mod.intersect_p(geom.cl, rays)
 
 

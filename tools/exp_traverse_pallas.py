@@ -92,6 +92,21 @@ def check():
         ta2, pa2 = tp.traverse2(packed, o, d, tmin, tmax, interpret=True,
                                 block_rows=2, any_hit=True)
         assert np.array_equal(np.asarray(pa2 >= 0), np.asarray(h.prim >= 0))
+        # v3 / v4 (leaf-buffered + packed fold; t matches to ~127 ulps)
+        for name, fn in (("v3", tp.traverse3), ("v4", tp.traverse4)):
+            t3, prim3 = fn(packed, o, d, tmin, tmax, interpret=True,
+                           block_rows=2)
+            p3o = jnp.where(prim3 >= 0,
+                            jnp.asarray(perm)[jnp.maximum(prim3, 0)], -1)
+            hm3 = np.mean(np.asarray((p3o >= 0) == (h.prim >= 0)))
+            t3e = np.abs(np.asarray(t3) - np.asarray(h.t))[both]
+            print(f"{name} coh={coh}: hit-agree={hm3:.4f} "
+                  f"max|dt|={t3e.max() if both.any() else 0:.2e}")
+            assert hm3 == 1.0 and t3e.max() < 1e-3
+            ta3, pa3 = fn(packed, o, d, tmin, tmax, interpret=True,
+                          block_rows=2, any_hit=True)
+            assert np.array_equal(np.asarray(pa3 >= 0),
+                                  np.asarray(h.prim >= 0))
     print("CHECK OK")
 
 
@@ -108,7 +123,9 @@ def bench():
             o, d = gen_rays(n_rays, coherent=coh)
             tmin = jnp.zeros(o.shape[0])
             tmax = jnp.full(o.shape[0], jnp.inf)
-            fn = jax.jit(lambda p, o, d, a, b: tp.traverse(
+            ver = {"1": tp.traverse, "2": tp.traverse2, "3": tp.traverse3,
+                   "4": tp.traverse4}[os.environ.get("V", "1")]
+            fn = jax.jit(lambda p, o, d, a, b: ver(
                 p, o, d, a, b, block_rows=br))
             try:
                 t0 = time.time()
@@ -174,7 +191,8 @@ def bench_sorted():
         oj = jnp.asarray(oo, jnp.float32); dj = jnp.asarray(dd, jnp.float32)
         tmin = jnp.zeros(n_rays); tmax = jnp.full(n_rays, jnp.inf)
         for br in [int(x) for x in os.environ.get("BR", "8,16,32").split(",")]:
-            ver = {"1": tp.traverse, "2": tp.traverse2}[os.environ.get("V", "1")]
+            ver = {"1": tp.traverse, "2": tp.traverse2, "3": tp.traverse3,
+                   "4": tp.traverse4}[os.environ.get("V", "1")]
             fn = jax.jit(lambda p, a, b, c, e: ver(p, a, b, c, e, block_rows=br))
             t, prim = fn(packed, oj, dj, tmin, tmax)
             jax.block_until_ready(t)
