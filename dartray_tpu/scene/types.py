@@ -127,10 +127,20 @@ def _use_pallas(geom) -> bool:
     return geom.packed is not None and jax.default_backend() == "tpu"
 
 
+def _detach(x):
+    """Gradient boundary at the traversal (detached-sampling estimator:
+    visibility/hit decisions carry no derivative; gradients flow through the
+    shading evaluated AT the returned hit points). Also required mechanically:
+    lax.while_loop traversal is not reverse-mode differentiable."""
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, x)
+
+
 def intersect(geom: "Geometry", rays, sort: bool = True):
     """Closest-hit over the scene accelerator (Scene.intersect,
     lib/core/scene.dart:51). On TPU this runs the Pallas megakernel over a
     coherence-sorted wavefront; elsewhere the XLA packet traversal."""
+    geom = _detach(geom)
+    rays = _detach(rays)
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
         t, prim, b1, b2 = tp.intersect_rays(
@@ -143,6 +153,8 @@ def intersect(geom: "Geometry", rays, sort: bool = True):
 
 def intersect_p(geom: "Geometry", rays, sort: bool = True):
     """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
+    geom = _detach(geom)
+    rays = _detach(rays)
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
         t, prim, _, _ = tp.intersect_rays(
