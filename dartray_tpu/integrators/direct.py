@@ -57,7 +57,10 @@ def li(ig: DirectLightingIntegrator, scene: st.CompiledScene, rays, diffs,
         if lt is not None and lt.env_light_index >= 0:
             L = L + jnp.where((active & ~hits.hit)[:, None],
                               throughput * lt_mod.env_le(lt, cur.d), 0.0)
-        it = st.interaction(geom, cur, hits)
+        it = st.interaction(geom, cur, hits,
+                            diffs=diffs if depth == 0 else None)
+        it["ns"] = mat_mod.bump_shading_normal(scene.materials, it["mat_id"],
+                                               scene.textures, it)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
         # emitted radiance at the hit (area lights are visible)
         if lt is not None:

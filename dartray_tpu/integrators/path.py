@@ -68,7 +68,10 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
         dim = 5 + bounce * 10
         hits = st.intersect(geom, cur, sort=bounce > 0)
         hit = hits.hit & active
-        it = st.interaction(geom, cur, hits)
+        it = st.interaction(geom, cur, hits,
+                            diffs=diffs if bounce == 0 else None)
+        it["ns"] = mat_mod.bump_shading_normal(scene.materials, it["mat_id"],
+                                               scene.textures, it)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
         # emitted light gathered by the extension ray (MIS weighted)
         if lt is not None:

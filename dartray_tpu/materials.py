@@ -218,3 +218,55 @@ def eval_params(table: MaterialTable, mat_id, textures=None,
                 (1.0 / jnp.maximum(p.exponent, 1e-4))[:, None])[:, 0], 1e-4)
         p = p._replace(**upd)
     return p
+
+
+def bump_shading_normal(table: MaterialTable, mat_id, textures, it):
+    """Material.Bump (material.dart:35-88): evaluate the displacement
+    texture at uv, uv+du, uv+dv by shifting the interaction, then perturb
+    the shading normal:
+
+        dpdu' = dpdu + (d(u+du)-d)/du * ns
+        dpdv' = dpdv + (d(v+dv)-d)/dv * ns
+        ns'   = normalize(dpdu' x dpdv')  (flipped into ns hemisphere)
+
+    Statically gated: returns it["ns"] unchanged when no material carries a
+    bump texture (TEX_BUMP not in used_tex_slots)."""
+    if (textures is None or it is None
+            or TEX_BUMP not in table.used_tex_slots):
+        return it["ns"]
+    from . import textures as tex_mod
+    m = jnp.maximum(mat_id, 0)
+    tid = table.tex_ids[m][:, TEX_BUMP]
+    has = tid >= 0
+    uv = it["uv"]
+    ns = it["ns"]
+    # half-pixel-ish offsets in uv; fall back to a fixed delta (the
+    # reference uses .5f * (dudx+dudy), zero without differentials ->
+    # material.dart uses .0005 guard)
+    du = jnp.full(uv.shape[:1], 5e-4, jnp.float32)
+    dv = du
+    if "tex_width" in it:
+        w = jnp.maximum(it["tex_width"], 1e-5)
+        du = 0.5 * w
+        dv = du
+
+    def disp(uv_shift, p_shift):
+        it2 = dict(it)
+        it2["uv"] = uv_shift
+        it2["p"] = p_shift
+        return tex_mod.eval_or(textures, tid, it2,
+                               jnp.zeros_like(ns))[:, 0]
+
+    d0 = disp(uv, it["p"])
+    du_uv = jnp.stack([uv[:, 0] + du, uv[:, 1]], axis=-1)
+    dv_uv = jnp.stack([uv[:, 0], uv[:, 1] + dv], axis=-1)
+    d_u = disp(du_uv, it["p"] + it["dpdu"] * du[:, None])
+    d_v = disp(dv_uv, it["p"] + it["dpdv"] * dv[:, None])
+    dddu = (d_u - d0) / jnp.maximum(du, 1e-8)
+    dddv = (d_v - d0) / jnp.maximum(dv, 1e-8)
+    dpdu_b = it["dpdu"] + dddu[:, None] * ns
+    dpdv_b = it["dpdv"] + dddv[:, None] * ns
+    from .core import math as _vm
+    ns_b = _vm.normalize(_vm.cross(dpdu_b, dpdv_b))
+    ns_b = _vm.face_forward(ns_b, ns)
+    return jnp.where(has[:, None], ns_b, ns)

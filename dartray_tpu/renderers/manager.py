@@ -24,7 +24,12 @@ from ..scene.api import RenderJob
 from . import sampler as rend
 
 
-def build_surface_li(job: RenderJob) -> Callable:
+def build_surface_li(job: RenderJob, log=print) -> Callable:
+    """Surface-integrator factory incl. preprocess phases — the full
+    _makeRenderer dispatch (dartray.dart:637-764 +
+    render_manager_interface.dart:44-156). Every registered integrator name
+    resolves to its real module; unknown names warn loudly and fall back to
+    path."""
     name = job.surf_integrator
     p = job.surf_params
     if name == "ambientocclusion":
@@ -33,13 +38,17 @@ def build_surface_li(job: RenderJob) -> Callable:
             min_dist=p.find_one_float("mindist", 1e-4),
             max_dist=p.find_one_float("maxdist", float("inf")))
         return lambda s, r, d, c: ao_mod.li(ig, s, r, d, c)
-    if name in ("directlighting", "whitted"):
+    if name == "directlighting":
         strat = p.find_one_string("strategy", "all")
         ig = di_mod.DirectLightingIntegrator(
             strategy=di_mod.STRATEGY_ONE if strat == "one"
             else di_mod.STRATEGY_ALL,
             max_depth=p.find_one_int("maxdepth", 5))
         return lambda s, r, d, c: di_mod.li(ig, s, r, d, c)
+    if name == "whitted":
+        from ..integrators import whitted as wh_mod
+        ig = wh_mod.WhittedIntegrator(max_depth=p.find_one_int("maxdepth", 5))
+        return lambda s, r, d, c: wh_mod.li(ig, s, r, d, c)
     if name == "path":
         ig = pi_mod.PathIntegrator(max_depth=p.find_one_int("maxdepth", 5))
         return lambda s, r, d, c: pi_mod.li(ig, s, r, d, c)
@@ -50,14 +59,91 @@ def build_surface_li(job: RenderJob) -> Callable:
             n_light_sets=p.find_one_int("nsets", 4),
             max_depth=p.find_one_int("maxdepth", 5),
             g_limit=p.find_one_float("glimit", 10.0))
-        return lambda s, r, d, c: igi_mod.li(ig, s, r, d, c)
-    # photonmap/irradiancecache/dipolesubsurface/PRT pending: path fallback
+        vpls = igi_mod.preprocess(ig, job.scene)   # VPL shooting phase
+        return lambda s, r, d, c: igi_mod.li(ig, s, r, d, c, vpls)
+    if name in ("photonmap", "exphotonmap"):
+        from ..integrators import photonmap as pm_mod
+        ig = pm_mod.PhotonMapIntegrator(
+            n_caustic=p.find_one_int("causticphotons", 20_000),
+            n_indirect=p.find_one_int("indirectphotons", 100_000),
+            n_lookup=p.find_one_int("nused", 50),
+            max_dist=p.find_one_float("maxdist", 0.1),
+            final_gather=p.find_one_bool("finalgather", True),
+            gather_samples=p.find_one_int("finalgathersamples", 32))
+        maps = pm_mod.shoot_photons(ig, job.scene)  # photon shooting phase
+        return lambda s, r, d, c: pm_mod.li(ig, s, r, d, c, maps)
+    if name == "irradiancecache":
+        from ..integrators import irradiance_cache as ic_mod
+        ig = ic_mod.IrradianceCacheIntegrator(
+            min_weight=p.find_one_float("minweight", 0.5),
+            max_angle_deg=p.find_one_float("maxanglediff", 10.0),
+            n_samples=p.find_one_int("nsamples", 4096),
+            max_depth=p.find_one_int("maxdepth", 5))
+        cache = ic_mod.build_cache(ig, job.scene, job.camera,
+                                   job.width, job.height)   # prime pass
+        return lambda s, r, d, c: ic_mod.li(ig, s, r, d, c, cache)
+    if name == "dipolesubsurface":
+        from ..integrators import dipole as dp_mod
+        from . import surface_points as sp_mod
+        import jax.numpy as _jnp
+        ig = dp_mod.DipoleSubsurfaceIntegrator(
+            max_error=p.find_one_float("maxerror", 0.05),
+            min_sample_dist=p.find_one_float("minsampledistance", 0.25))
+        sp = sp_mod.render(job.scene,
+                           min_sample_dist=ig.min_sample_dist)
+        ip = dp_mod.prepare(job.scene, sp)
+        if job.sss:
+            sps, sa, eta = next(iter(job.sss.values()))
+            if len(job.sss) > 1:
+                log("note: multiple subsurface media; dipole uses the first")
+            n_mats = job.scene.materials.n
+            mask = np.zeros((n_mats,), bool)
+            for mid in job.sss:
+                mask[mid] = True
+            sss_mask = jnp.asarray(mask)
+            sps = _jnp.asarray(sps, _jnp.float32)
+            sa = _jnp.asarray(sa, _jnp.float32)
+        else:
+            sps = sa = sss_mask = None
+        return lambda s, r, d, c: dp_mod.li(ig, s, r, d, c, ip,
+                                            sigma_prime_s=sps, sigma_a=sa,
+                                            sss_mask=sss_mask)
+    if name == "diffuseprt":
+        from ..integrators import prt as prt_mod
+        ig = prt_mod.DiffusePRTIntegrator(
+            lmax=p.find_one_int("lmax", 4),
+            n_samples=p.find_one_int("nsamples", 4096))
+        c_in = prt_mod.project_incident_radiance(
+            job.scene, _scene_center(job.scene), ig.lmax, ig.n_samples)
+        return lambda s, r, d, c: prt_mod.diffuse_li(ig, s, r, d, c, c_in)
+    if name == "glossyprt":
+        from ..integrators import prt as prt_mod
+        ig = prt_mod.GlossyPRTIntegrator(
+            lmax=p.find_one_int("lmax", 4),
+            n_samples=p.find_one_int("nsamples", 4096))
+        c_in = prt_mod.project_incident_radiance(
+            job.scene, _scene_center(job.scene), ig.lmax, ig.n_samples)
+        return lambda s, r, d, c: prt_mod.glossy_li(ig, s, r, d, c, c_in)
+    if name == "useprobes":
+        from ..integrators import prt as prt_mod
+        from . import probes as probes_mod
+        fname = p.find_one_string("filename", "probes.npz")
+        probes = probes_mod.load(fname)
+        lmax = int(np.sqrt(probes.coeffs.shape[1])) - 1  # T = (lmax+1)^2
+        ig = prt_mod.UseProbesIntegrator(lmax=lmax)
+        return lambda s, r, d, c: prt_mod.probes_li(ig, s, r, d, c, probes)
+    log(f"warning: unknown surface integrator {name!r}; using path")
     ig = pi_mod.PathIntegrator(max_depth=p.find_one_int("maxdepth", 5))
     return lambda s, r, d, c: pi_mod.li(ig, s, r, d, c)
 
 
-def build_li(job: RenderJob) -> Callable:
-    surf_li = build_surface_li(job)
+def _scene_center(scene):
+    wb = np.asarray(scene.geometry.world_bound)
+    return 0.5 * (wb[0] + wb[1])
+
+
+def build_li(job: RenderJob, log=print) -> Callable:
+    surf_li = build_surface_li(job, log=log)
     vol_name = job.vol_integrator
     vp = job.vol_params
 
@@ -81,12 +167,83 @@ def build_li(job: RenderJob) -> Callable:
     return li
 
 
-def run(job: RenderJob, progress: Optional[Callable] = None) -> np.ndarray:
-    li = build_li(job)
+def run(job: RenderJob, progress: Optional[Callable] = None,
+        log=print) -> np.ndarray:
+    """Dispatch on job.renderer (the _makeRenderer special-cases,
+    dartray.dart:637-764): sampler (default), metropolis, createprobes,
+    surfacepoints, aggregatetest."""
+    rp = job.renderer_params
+    rname = job.renderer
+    if rname == "metropolis":
+        from . import metropolis as mlt
+        return mlt.render(
+            job.scene, job.camera, job.width, job.height,
+            spp=rp.find_one_int("samplesperpixel", 100),
+            n_bootstrap=rp.find_one_int("bootstrapsamples", 4096),
+            large_step_prob=rp.find_one_float("largestepprobability", 0.25),
+            max_depth=rp.find_one_int("maxdepth", 7),
+            max_consecutive_rejects=rp.find_one_int("maxconsecutiverejects",
+                                                    512),
+            do_direct_separately=rp.find_one_bool("dodirectseparately",
+                                                  True),
+            progress=progress)
+    if rname == "createprobes":
+        from . import probes as probes_mod
+        li = build_li(job, log=log)
+        pr = probes_mod.render(
+            job.scene, li,
+            lmax=rp.find_one_int("lmax", 4),
+            n_samples=rp.find_one_int("indirectsamples", 512))
+        fname = rp.find_one_string("filename", "probes.npz")
+        probes_mod.save(fname, pr)
+        log(f"createprobes: wrote {fname}")
+        return np.zeros((job.height, job.width, 3), np.float32)
+    if rname == "surfacepoints":
+        from . import surface_points as sp_mod
+        sp = sp_mod.render(
+            job.scene,
+            min_sample_dist=rp.find_one_float("minsampledistance", 0.25))
+        fname = rp.find_one_string("filename", "surfacepoints.npz")
+        sp_mod.save(fname, sp)
+        log(f"surfacepoints: wrote {fname} ({sp.count} points)")
+        return np.zeros((job.height, job.width, 3), np.float32)
+    if rname == "aggregatetest":
+        _aggregate_test(job.scene,
+                        n_iters=rp.find_one_int("niters", 100_000), log=log)
+        return np.zeros((job.height, job.width, 3), np.float32)
+    if rname != "sampler":
+        log(f"warning: unknown renderer {rname!r}; using sampler")
+    li = build_li(job, log=log)
     return rend.render(job.scene, job.camera, job.sampler, li,
                        job.width, job.height, progress=progress,
                        filter_name=job.filter_name,
                        filter_params=job.filter_params)
+
+
+def _aggregate_test(scene, n_iters=100_000, log=print):
+    """Random-ray accelerator validation vs exhaustive intersection
+    (aggregate_test_renderer.dart:21-60) as a runtime check."""
+    from ..accel import traverse as tv
+    from ..core import math as vm
+    import jax
+
+    geom = scene.geometry
+    wb = np.asarray(geom.world_bound)
+    rng = np.random.default_rng(0)
+    n = min(n_iters, 65536)
+    o = rng.uniform(wb[0] - 0.5, wb[1] + 0.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    rays = vm.make_rays(jnp.asarray(o), jnp.asarray(d))
+    h_acc = jax.jit(st.intersect)(geom, rays)
+    h_ref = tv.brute_force_intersect(geom.v0, geom.e1, geom.e2, rays)
+    mism = int(np.sum(np.asarray(h_acc.hit) != np.asarray(h_ref.hit)))
+    terr = np.abs(np.asarray(h_acc.t) - np.asarray(h_ref.t))
+    terr = terr[np.asarray(h_acc.hit & h_ref.hit)]
+    log(f"aggregatetest: {n} rays, {mism} hit mismatches, "
+        f"max|dt|={terr.max() if terr.size else 0:.2e}")
+    if mism > 0:
+        raise AssertionError(f"aggregatetest failed: {mism} mismatches")
 
 
 def render_pbrt(text_or_path: str, search_paths=None,

@@ -70,6 +70,10 @@ class RenderJob:
     renderer: str
     renderer_params: ps.ParamSet
     crop: tuple = (0.0, 1.0, 0.0, 1.0)
+    # BSSRDF media per material id: {mat_id: (sigma_prime_s(3,), sigma_a(3,),
+    # eta, scale)} — consumed by the dipolesubsurface pipeline
+    # (subsurface_material.dart / dartray.dart:637-764 renderer special-case)
+    sss: dict = dataclasses.field(default_factory=dict)
 
 
 class PbrtAPI:
@@ -106,6 +110,7 @@ class PbrtAPI:
         self.transform_stack: List[tuple] = []
         self.builder = build_mod.SceneBuilder()
         self._mat_cache: Dict[str, int] = {}
+        self.sss_map: Dict[int, tuple] = {}   # mat_id -> (sps, sa, eta)
         self.volumes: List[tuple] = []
         # object instancing (dartray.dart:480-546)
         self.objects: Dict[str, list] = {}
@@ -395,6 +400,9 @@ class PbrtAPI:
             return float(np.mean(v))
 
         T = mat_mod
+        # displacement -> shading-normal perturbation: every material honors
+        # "texture bumpmap" (Material.Bump, material.dart:35-88)
+        f1("bumpmap", 0.0, T.TEX_BUMP)
         if name == "matte":
             return mat_mod.matte(kd=spec3("Kd", (0.5,) * 3, T.TEX_KD),
                                  sigma=f1("sigma", 0.0, T.TEX_SIGMA),
@@ -456,9 +464,41 @@ class PbrtAPI:
                 return mat_mod.mix_materials(m1, m2, amt)
             self.log("warning: mix material missing named materials")
             return mat_mod.matte()
-        if name in ("measured", "subsurface", "kdsubsurface"):
+        if name in ("subsurface", "kdsubsurface"):
+            # Surface BSDF: glossy dielectric coat (subsurface_material.dart
+            # builds Blinn microfacet + Fresnel over the BSSRDF); the
+            # diffusion term itself is carried via RenderJob.sss and
+            # evaluated by integrators/dipole.py when the scene selects the
+            # dipolesubsurface integrator.
+            from ..integrators import dipole as dp
+            eta = f1("index", 1.3)
+            scale = geom_params.find_one_float("scale", 1.0)
+            if name == "subsurface":
+                preset = geom_params.find_one_string("name", "")
+                if preset:
+                    sps, sa = dp.media_params(preset)
+                else:
+                    sps = np.asarray(geom_params.find_one_spectrum(
+                        "sigma_prime_s", (2.55, 3.21, 3.77)), np.float32)
+                    sa = np.asarray(geom_params.find_one_spectrum(
+                        "sigma_a", (0.0011, 0.0024, 0.014)), np.float32)
+            else:  # kdsubsurface: diffuse color + mean free path ->
+                # crude SubsurfaceFromDiffuse inversion
+                # (kd_subsurface_material.dart)
+                kd = np.asarray(geom_params.find_one_spectrum(
+                    "Kd", (0.5, 0.5, 0.64)), np.float32)
+                mfp = geom_params.find_one_float("meanfreepath", 1.0)
+                sps = np.clip(kd, 1e-3, 0.999) / mfp
+                sa = np.clip(1.0 - kd, 1e-3, 1.0) / mfp
+            row = mat_mod.plastic(kd=(0.0,) * 3, ks=(1.0,) * 3,
+                                  roughness=f1("roughness", 0.05),
+                                  tex_ids=tex_ids)
+            row["_sss"] = (tuple(float(x) for x in sps * scale),
+                           tuple(float(x) for x in sa * scale), float(eta))
+            return row
+        if name == "measured":
             self.log(f"note: material {name!r} approximated (pending "
-                     "measured-BRDF/BSSRDF support)")
+                     "measured-BRDF support)")
             return mat_mod.matte(kd=(0.5,) * 3)
         self.log(f"warning: unknown material {name!r}; using matte")
         return mat_mod.matte()
@@ -559,7 +599,12 @@ class PbrtAPI:
     def _material_id(self, row: dict) -> int:
         key = repr(sorted((k, str(v)) for k, v in row.items()))
         if key not in self._mat_cache:
-            self._mat_cache[key] = self.builder.add_material(row)
+            row2 = dict(row)
+            media = row2.pop("_sss", None)
+            mat_id = self.builder.add_material(row2)
+            if media is not None:
+                self.sss_map[mat_id] = media
+            self._mat_cache[key] = mat_id
         return self._mat_cache[key]
 
     def _make_shape(self, name, p: ps.ParamSet):
@@ -755,7 +800,8 @@ class PbrtAPI:
                          filter_params=filt_params,
                          surf_integrator=si_name, surf_params=si_p,
                          vol_integrator=vi_name, vol_params=vi_p,
-                         renderer=r_name, renderer_params=r_p, crop=crop)
+                         renderer=r_name, renderer_params=r_p, crop=crop,
+                         sss=dict(self.sss_map))
 
 
 def _coord_sys(d):

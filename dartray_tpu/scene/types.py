@@ -170,12 +170,15 @@ class SurfaceInteraction:
     intersection.dart:27-72) — all plain functions over SoA arrays."""
 
 
-def interaction(geom: Geometry, rays, hits):
+def interaction(geom: Geometry, rays, hits, diffs=None):
     """Hits -> dict of SoA shading arrays for the hit points.
 
     Returns p, ng (geometric normal), ns (shading normal), uv, wo, mat_id,
     light_id, all (R, ...) with garbage-but-finite values on misses (callers
-    mask by hits.hit).
+    mask by hits.hit). When camera ray differentials are given, also
+    tex_width — the uv-space filter footprint for mip selection
+    (DifferentialGeometry.computeDifferentials,
+    differential_geometry.dart:computeDifferentials).
     """
     prim = jnp.maximum(hits.prim, 0)
     v0 = geom.v0[prim]
@@ -204,10 +207,52 @@ def interaction(geom: Geometry, rays, hits):
     cu, cv = vm.coordinate_system(ng)
     dpdu = jnp.where(degen[:, None], cu, dpdu)
     dpdv = jnp.where(degen[:, None], cv, dpdv)
-    return dict(
+    out = dict(
         p=p, ng=ng, ns=ns, uv=uv, dpdu=dpdu, dpdv=dpdv,
         wo=-rays.d, mat_id=geom.mat_id[prim], light_id=geom.light_id[prim],
         prim=hits.prim, t=hits.t)
+    if diffs is not None:
+        out["tex_width"] = _uv_footprint(p, ng, dpdu, dpdv, diffs)
+    return out
+
+
+def _uv_footprint(p, ng, dpdu, dpdv, diffs):
+    """Per-ray uv-space screen footprint: intersect the +1px x/y rays with
+    the tangent plane, solve the 2x2 system for du/dv per axis, return the
+    max |derivative| (computeDifferentials semantics)."""
+    def plane_hit(o, d):
+        denom = vm.dot(d, ng)
+        tt = vm.dot(p - o, ng) / jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+        return o + d * tt[:, None]
+
+    dpdx = plane_hit(diffs.rx_o, diffs.rx_d) - p
+    dpdy = plane_hit(diffs.ry_o, diffs.ry_d) - p
+    # pick the two dominant axes of the normal's complement
+    an = jnp.abs(ng)
+    # axes (0,1,2) minus argmax(an): build both candidate pairs and select
+    amax = jnp.argmax(an, axis=-1)
+    ax0 = jnp.where(amax == 0, 1, 0)
+    ax1 = jnp.where(amax == 2, 1, 2)
+    idx = jnp.stack([ax0, ax1], axis=-1)                    # (R, 2)
+    take2 = lambda v: jnp.take_along_axis(v, idx, axis=-1)  # (R, 2)
+    a00 = take2(dpdu)[:, 0]
+    a01 = take2(dpdv)[:, 0]
+    a10 = take2(dpdu)[:, 1]
+    a11 = take2(dpdv)[:, 1]
+    det = a00 * a11 - a01 * a10
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    ok = jnp.abs(det) >= 1e-12
+
+    def solve(b):
+        b0, b1 = take2(b)[:, 0], take2(b)[:, 1]
+        du = (a11 * b0 - a01 * b1) * inv
+        dv = (-a10 * b0 + a00 * b1) * inv
+        return jnp.where(ok, du, 0.0), jnp.where(ok, dv, 0.0)
+
+    dudx, dvdx = solve(dpdx)
+    dudy, dvdy = solve(dpdy)
+    return jnp.maximum(jnp.maximum(jnp.abs(dudx), jnp.abs(dvdx)),
+                       jnp.maximum(jnp.abs(dudy), jnp.abs(dvdy)))
 
 
 def ray_epsilon(t):

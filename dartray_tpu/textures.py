@@ -36,9 +36,12 @@ BILERP = 12
 _LEAF_KINDS = (CONST, IMAGEMAP, UV, FBM, WRINKLED, MARBLE, WINDY)
 
 
+MAX_MIP = 16
+
+
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["kind", "value", "params", "sub", "img_meta", "texels",
-                      "world2tex"],
+         data_fields=["kind", "value", "params", "sub", "img_meta",
+                      "mip_off", "texels", "world2tex"],
          meta_fields=["n", "kinds_present"])
 @dataclasses.dataclass
 class TextureData:
@@ -47,12 +50,70 @@ class TextureData:
     params: jnp.ndarray   # (T, 8): [su, sv, du, dv, octaves, omega/rough,
                           #          scale/variation, extra]
     sub: jnp.ndarray      # (T, 2) int32 child texture ids (-1)
-    img_meta: jnp.ndarray  # (T, 3) int32 [offset, width, height]
-    texels: jnp.ndarray   # (P, 3) flat texel pool
+    img_meta: jnp.ndarray  # (T, 4) int32 [offset, width, height, n_levels]
+    mip_off: jnp.ndarray  # (T, MAX_MIP) int32 per-level pool offsets
+    texels: jnp.ndarray   # (P, 3) flat texel pool (all mip levels)
     world2tex: jnp.ndarray  # (T, 4, 4) 3D-mapping transform
     n: int
     kinds_present: tuple  # static: sorted tuple of kinds in the table
                           # (gates tracing of the expensive families)
+
+
+def _round_up_pow2(x):
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+def _lanczos_resample_1d(img, new_n, axis):
+    """Separable Lanczos-windowed sinc resample to a pow-2 size
+    (mipmap.dart:64-168 resampleWeights, tau=2, 4 taps)."""
+    old_n = img.shape[axis]
+    if old_n == new_n:
+        return img
+    filt = 2.0
+    centers = (np.arange(new_n) + 0.5) * old_n / new_n
+    first = np.floor(centers - filt + 0.5).astype(np.int64)
+    offs = np.arange(4)
+    pos = first[:, None] + offs[None, :]                    # (new_n, 4)
+    x = np.abs(pos + 0.5 - centers[:, None]) / filt
+    x = np.minimum(x, 1.0 - 1e-6)
+    w = np.sinc(x) * np.sinc(x)        # Lanczos tau=2 approx window
+    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-9)
+    pos = np.clip(pos, 0, old_n - 1)
+    moved = np.moveaxis(img, axis, 0)                       # (old_n, ...)
+    out = np.einsum("nk,nk...->n...", w, moved[pos])
+    return np.moveaxis(out, 0, axis)
+
+
+def build_pyramid(image: np.ndarray):
+    """Full mip pyramid (mipmap.dart:64-208): pow-2 Lanczos resample, then
+    2x2 box levels down to 1x1. Returns list of (H_l, W_l, 3) arrays."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[0], img.shape[1]
+    pw, ph = _round_up_pow2(w), _round_up_pow2(h)
+    if (pw, ph) != (w, h):
+        img = _lanczos_resample_1d(img, pw, axis=1)
+        img = _lanczos_resample_1d(img, ph, axis=0)
+    levels = [img]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        prev = levels[-1]
+        hh = max(prev.shape[0] // 2, 1)
+        ww = max(prev.shape[1] // 2, 1)
+        p = prev
+        if prev.shape[0] > 1 and prev.shape[0] % 2:
+            p = p[:-1]
+        if prev.shape[1] > 1 and prev.shape[1] % 2:
+            p = p[:, :-1]
+        if prev.shape[0] == 1:
+            nxt = 0.5 * (p[:, 0::2] + p[:, 1::2])
+        elif prev.shape[1] == 1:
+            nxt = 0.5 * (p[0::2] + p[1::2])
+        else:
+            nxt = 0.25 * (p[0::2, 0::2] + p[1::2, 0::2]
+                          + p[0::2, 1::2] + p[1::2, 1::2])
+        levels.append(nxt.astype(np.float32))
+        if len(levels) >= MAX_MIP:
+            break
+    return levels
 
 
 class TextureBuilder:
@@ -64,19 +125,26 @@ class TextureBuilder:
     def add(self, kind, value=(0.0, 0.0, 0.0), params=(1, 1, 0, 0, 8, 0.5, 1, 0),
             sub=(-1, -1), image: Optional[np.ndarray] = None,
             world2tex=None) -> int:
-        off, w, h = 0, 0, 0
+        off, w, h, nlev = 0, 0, 0, 0
+        mip_off = np.zeros(MAX_MIP, np.int32)
         if image is not None:
-            img = np.asarray(image, np.float32).reshape(-1, 3)
+            levels = build_pyramid(image)
+            nlev = len(levels)
             off = self.pool_len
-            h, w = image.shape[0], image.shape[1]
-            self.pool.append(img)
-            self.pool_len += img.shape[0]
+            h, w = levels[0].shape[0], levels[0].shape[1]
+            for li, lv in enumerate(levels):
+                mip_off[li] = self.pool_len
+                flat = lv.reshape(-1, 3)
+                self.pool.append(flat)
+                self.pool_len += flat.shape[0]
+            mip_off[nlev:] = mip_off[nlev - 1]
         p = np.zeros(8, np.float32)
         p[:len(params)] = params
         self.rows.append(dict(
             kind=kind, value=np.asarray(value, np.float32), params=p,
             sub=np.asarray(sub, np.int32),
-            img_meta=np.asarray([off, w, h], np.int32),
+            img_meta=np.asarray([off, w, h, nlev], np.int32),
+            mip_off=mip_off,
             world2tex=np.eye(4, dtype=np.float32) if world2tex is None
             else np.asarray(world2tex, np.float32)))
         return len(self.rows) - 1
@@ -92,6 +160,7 @@ class TextureBuilder:
             kind=jnp.asarray([r["kind"] for r in self.rows], jnp.int32),
             value=col("value"), params=col("params"),
             sub=col("sub", np.int32), img_meta=col("img_meta", np.int32),
+            mip_off=col("mip_off", np.int32),
             texels=jnp.asarray(texels), world2tex=col("world2tex"),
             n=len(self.rows),
             kinds_present=tuple(sorted({r["kind"] for r in self.rows})))
@@ -157,14 +226,17 @@ def turbulence(p, octaves=8, omega=0.5):
 
 # --- evaluation ------------------------------------------------------------
 
-def _img_lookup(tex: TextureData, tid, u, v):
-    """Bilinear lookup in the flat pool (MIPMap.lookup trilinear stand-in;
-    EWA/mip pyramid pending)."""
+def _bilinear_level(tex: TextureData, tid, u, v, level):
+    """Bilinear lookup at an integer mip level (MIPMap.triangle,
+    mipmap.dart:342-...), repeat wrap."""
     meta = tex.img_meta[tid]
-    off, w, h = meta[..., 0], meta[..., 1], meta[..., 2]
-    wf = jnp.maximum(w, 1).astype(jnp.float32)
-    hf = jnp.maximum(h, 1).astype(jnp.float32)
-    # repeat wrap
+    w0, h0 = meta[..., 1], meta[..., 2]
+    off = jnp.take_along_axis(tex.mip_off[tid], level[..., None],
+                              axis=-1)[..., 0]
+    w = jnp.maximum(w0 >> level, 1)
+    h = jnp.maximum(h0 >> level, 1)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
     uu = (u % 1.0) * wf - 0.5
     vv = (v % 1.0) * hf - 0.5
     x0 = jnp.floor(uu).astype(jnp.int32)
@@ -173,8 +245,8 @@ def _img_lookup(tex: TextureData, tid, u, v):
     fy = (vv - y0)[..., None]
 
     def at(x, y):
-        xm = jnp.where(w > 0, x % jnp.maximum(w, 1), 0)
-        ym = jnp.where(h > 0, y % jnp.maximum(h, 1), 0)
+        xm = jnp.where(w0 > 0, x % w, 0)
+        ym = jnp.where(h0 > 0, y % h, 0)
         return tex.texels[off + ym * w + xm]
 
     c00 = at(x0, y0)
@@ -183,6 +255,26 @@ def _img_lookup(tex: TextureData, tid, u, v):
     c11 = at(x0 + 1, y0 + 1)
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def _img_lookup(tex: TextureData, tid, u, v, width=None):
+    """Trilinear mip lookup (MIPMap.lookup, mipmap.dart:209-224): level =
+    nLevels-1 + log2(max(width, tiny)), lerp between the two bracketing
+    bilinear levels. width = uv-space footprint from ray differentials
+    (zero/None -> finest level, the reference's no-differentials behavior)."""
+    meta = tex.img_meta[tid]
+    nlev = meta[..., 3]
+    if width is None:
+        return _bilinear_level(tex, tid, u, v, jnp.zeros_like(nlev))
+    lvl_f = (nlev - 1).astype(jnp.float32) + \
+        jnp.log2(jnp.maximum(width, 1e-8))
+    lvl_f = jnp.clip(lvl_f, 0.0, jnp.maximum(nlev - 1, 0).astype(jnp.float32))
+    l0 = jnp.floor(lvl_f).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, jnp.maximum(nlev - 1, 0))
+    t = (lvl_f - l0)[..., None]
+    c0 = _bilinear_level(tex, tid, u, v, l0)
+    c1 = _bilinear_level(tex, tid, u, v, l1)
+    return c0 * (1 - t) + c1 * t
 
 
 def _eval_leaf(tex: TextureData, tid, it):
@@ -198,7 +290,12 @@ def _eval_leaf(tex: TextureData, tid, it):
     v = uv[..., 1] * sv + dv
     out = tex.value[tid]                                   # CONST
     if IMAGEMAP in present:
-        img = _img_lookup(tex, tid, u, v) * tex.value[tid]
+        width = it.get("tex_width")
+        if width is not None:
+            # scale the uv footprint by the mapping scale (image_texture
+            # passes dsdx = dudx * su etc.)
+            width = width * jnp.maximum(jnp.abs(su), jnp.abs(sv))
+        img = _img_lookup(tex, tid, u, v, width) * tex.value[tid]
         out = jnp.where((kind == IMAGEMAP)[..., None], img, out)
     if UV in present:
         uvv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros_like(u)], axis=-1)
