@@ -72,6 +72,12 @@ class BSDFParams(NamedTuple):
     eta: jnp.ndarray         # dielectric ior (R,)
     eta_c: jnp.ndarray       # conductor eta (R, 3)
     k_c: jnp.ndarray         # conductor k (R, 3)
+    # measured BRDF (RegularHalfangleBRDF): None, or a tuple
+    # (idx (R, 4) int32 [pool_off, nThetaH, nThetaD, nPhiD] with off = -1
+    #  for non-measured rays, pool (P, 3) f32). Evaluated as an extra
+    # reflection lobe sampled through the DIFF_R cosine machinery (the
+    # reference's default BxDF sampling for measured data).
+    meas: tuple = None
 
 
 def zero_params(r) -> BSDFParams:
@@ -292,8 +298,55 @@ def _slot_active(p: BSDFParams, flags: int):
         if s == GLOSS_R and match:
             has_w = has_w | ((p.gloss_fresnel == FR_BLEND)
                              & jnp.any(p.kd != 0.0, axis=-1))
+        # measured BRDF rides the DIFF_R slot's cosine sampling/pdf
+        if s == DIFF_R and match and p.meas is not None:
+            has_w = has_w | (p.meas[0][:, 0] >= 0)
         act.append(has_w)
     return jnp.stack(act)      # (6, R)
+
+
+def measured_f(meas, wo, wi):
+    """RegularHalfangleBRDF.f (regular_halfangle_brdf.dart:23-81): map
+    (wo, wi) to the half/difference-angle table index, gather RGB.
+    Inputs are LOCAL (shading-frame) directions."""
+    idx, pool = meas
+    wh = wo + wi
+    flip = wh[..., 2:3] < 0.0
+    wo = jnp.where(flip, -wo, wo)
+    wi = jnp.where(flip, -wi, wi)
+    wh = jnp.where(flip, -wh, wh)
+    ok = jnp.sum(wh * wh, axis=-1) > 1e-12
+    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True),
+                          1e-12)
+    cth = jnp.clip(wh[..., 2], -1.0, 1.0)
+    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+    inv_s = 1.0 / jnp.maximum(sth, 1e-9)
+    cph = jnp.where(sth < 1e-9, 1.0, wh[..., 0] * inv_s)
+    sph = jnp.where(sth < 1e-9, 0.0, wh[..., 1] * inv_s)
+    whx = jnp.stack([cph * cth, sph * cth, -sth], axis=-1)
+    why = jnp.stack([-sph, cph, jnp.zeros_like(sph)], axis=-1)
+    wd = jnp.stack([vm.dot(wi, whx), vm.dot(wi, why), vm.dot(wi, wh)],
+                   axis=-1)
+    wd_theta = jnp.arccos(jnp.clip(wd[..., 2], -1.0, 1.0))
+    wd_phi = jnp.arctan2(wd[..., 1], wd[..., 0])
+    wd_phi = jnp.where(wd_phi < 0, wd_phi + 2 * np.pi, wd_phi)
+    wd_phi = jnp.where(wd_phi > np.pi, wd_phi - np.pi, wd_phi)
+    wh_theta = jnp.arccos(cth)
+    nth = idx[:, 1]
+    ntd = idx[:, 2]
+    npd = idx[:, 3]
+
+    def remap(v, vmax, count):
+        i = (v / vmax * count.astype(jnp.float32)).astype(jnp.int32)
+        return jnp.clip(i, 0, jnp.maximum(count - 1, 0))
+
+    i_h = remap(jnp.sqrt(jnp.maximum(wh_theta / (np.pi / 2), 0.0)), 1.0,
+                nth)
+    i_d = remap(wd_theta, np.pi / 2, ntd)
+    i_p = remap(wd_phi, np.pi, npd)
+    flat = idx[:, 0] + i_p + npd * (i_d + i_h * ntd)
+    val = pool[jnp.maximum(flat, 0)]
+    return jnp.where((ok & (idx[:, 0] >= 0))[..., None], val, 0.0)
 
 
 def f(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
@@ -310,6 +363,9 @@ def f(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
     fl = SLOT_FLAGS[DIFF_R]
     m = act[DIFF_R] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wi)
     out += jnp.where(m[..., None], _diff_f(p.kd, p.sigma, wo, wi), 0.0)
+    if p.meas is not None:   # measured BRDF lobe (same mask family)
+        mm = m & (p.meas[0][:, 0] >= 0)
+        out += jnp.where(mm[..., None], measured_f(p.meas, wo, wi), 0.0)
     # diffuse transmission (brdf_to_btdf: evaluate with wi flipped)
     fl = SLOT_FLAGS[DIFF_T]
     wif = wi * jnp.asarray([1.0, 1.0, -1.0])

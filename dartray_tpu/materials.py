@@ -38,8 +38,9 @@ N_TEX_SLOTS = 8
 @partial(jax.tree_util.register_dataclass,
          data_fields=["kd", "sigma", "kd_t", "ks", "exponent",
                       "gloss_fresnel", "ks_t", "kr", "spec_fresnel", "kt",
-                      "eta", "eta_c", "k_c", "opacity", "tex_ids"],
-         meta_fields=["n", "used_tex_slots"])
+                      "eta", "eta_c", "k_c", "opacity", "tex_ids",
+                      "meas_meta", "meas_pool"],
+         meta_fields=["n", "used_tex_slots", "has_measured"])
 @dataclasses.dataclass
 class MaterialTable:
     kd: jnp.ndarray          # (M, 3)
@@ -57,8 +58,11 @@ class MaterialTable:
     k_c: jnp.ndarray         # (M, 3)
     opacity: jnp.ndarray     # (M, 3)
     tex_ids: jnp.ndarray     # (M, N_TEX_SLOTS) int32, -1 = constant
+    meas_meta: jnp.ndarray   # (M, 4) int32 [pool_off|-1, nThH, nThD, nPhD]
+    meas_pool: jnp.ndarray   # (P, 3) f32 concatenated halfangle tables
     n: int
     used_tex_slots: tuple = ()  # static: slots any material textures
+    has_measured: bool = False  # static: gates the measured lobe tracing
 
 
 def _row(kd=(0, 0, 0), sigma=0.0, kd_t=(0, 0, 0), ks=(0, 0, 0),
@@ -153,6 +157,9 @@ def mix_materials(m1: dict, m2: dict, amount=(0.5,) * 3):
     a = np.asarray(amount, np.float64)
     out = {}
     for key in m1:
+        if key.startswith("_"):   # measured/sss side-channel data
+            out[key] = m1[key]
+            continue
         v1 = np.asarray(m1[key], np.float64)
         v2 = np.asarray(m2[key], np.float64)
         if key in ("gloss_fresnel", "spec_fresnel"):
@@ -166,11 +173,40 @@ def mix_materials(m1: dict, m2: dict, amount=(0.5,) * 3):
     return out
 
 
+def measured(data: np.ndarray, key: str = "", **tex):
+    """measured_material.dart:56-231: regular half-angle BRDF table (from
+    io/merl.load). data: (nThetaH, nThetaD, nPhiD, 3). `key` disambiguates
+    tables for material dedup (filenames)."""
+    row = _row(tex_ids=tex.get("tex_ids"))
+    row["_meas_data"] = np.asarray(data, np.float32)
+    row["_meas_key"] = key
+    return row
+
+
 def build_table(rows: List[dict]) -> MaterialTable:
     if not rows:
         rows = [matte()]
     def col(k, dt=np.float32):
         return jnp.asarray(np.asarray([r[k] for r in rows], dt))
+    pool = []
+    pool_len = 0
+    meta = np.full((len(rows), 4), -1, np.int32)
+    seen = {}
+    for i, r in enumerate(rows):
+        d = r.get("_meas_data")
+        if d is None:
+            continue
+        key = r.get("_meas_key") or id(d)
+        if key in seen:
+            meta[i] = seen[key]
+            continue
+        nth, ntd, npd = d.shape[0], d.shape[1], d.shape[2]
+        meta[i] = (pool_len, nth, ntd, npd)
+        seen[key] = meta[i]
+        pool.append(d.reshape(-1, 3))
+        pool_len += nth * ntd * npd
+    meas_pool = (np.concatenate(pool) if pool
+                 else np.zeros((1, 3), np.float32))
     return MaterialTable(
         kd=col("kd"), sigma=col("sigma"), kd_t=col("kd_t"), ks=col("ks"),
         exponent=col("exponent"),
@@ -178,10 +214,12 @@ def build_table(rows: List[dict]) -> MaterialTable:
         kr=col("kr"), spec_fresnel=col("spec_fresnel", np.int32),
         kt=col("kt"), eta=col("eta"), eta_c=col("eta_c"), k_c=col("k_c"),
         opacity=col("opacity"), tex_ids=col("tex_ids", np.int32),
+        meas_meta=jnp.asarray(meta), meas_pool=jnp.asarray(meas_pool),
         n=len(rows),
         used_tex_slots=tuple(sorted({
             s for r in rows for s in range(N_TEX_SLOTS)
-            if r["tex_ids"][s] >= 0})))
+            if r["tex_ids"][s] >= 0})),
+        has_measured=bool(pool))
 
 
 def eval_params(table: MaterialTable, mat_id, textures=None,
@@ -195,7 +233,9 @@ def eval_params(table: MaterialTable, mat_id, textures=None,
         ks=table.ks[m], exponent=table.exponent[m],
         gloss_fresnel=table.gloss_fresnel[m], ks_t=table.ks_t[m],
         kr=table.kr[m], spec_fresnel=table.spec_fresnel[m], kt=table.kt[m],
-        eta=table.eta[m], eta_c=table.eta_c[m], k_c=table.k_c[m])
+        eta=table.eta[m], eta_c=table.eta_c[m], k_c=table.k_c[m],
+        meas=((table.meas_meta[m], table.meas_pool)
+              if table.has_measured else None))
     used = table.used_tex_slots
     if textures is not None and it is not None and used:
         from . import textures as tex_mod

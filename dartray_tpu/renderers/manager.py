@@ -214,6 +214,14 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
     if rname != "sampler":
         log(f"warning: unknown renderer {rname!r}; using sampler")
     li = build_li(job, log=log)
+    if job.adaptive is not None:
+        mn, mx = job.adaptive
+        img, n_ref = rend.render_adaptive(
+            job.scene, job.camera, job.sampler, li, job.width, job.height,
+            min_spp=mn, max_spp=mx, progress=progress,
+            filter_name=job.filter_name, filter_params=job.filter_params)
+        log(f"adaptive: refined {n_ref} pixels to {mx} spp")
+        return img
     return rend.render(job.scene, job.camera, job.sampler, li,
                        job.width, job.height, progress=progress,
                        filter_name=job.filter_name,

@@ -84,3 +84,69 @@ def render(scene, camera, sampler, li_fn, width, height,
         if progress is not None:
             progress(s + 1, spp, film)
     return np.asarray(film_mod.to_rgb(film))
+
+
+def render_adaptive(scene, camera, sampler, li_fn, width, height,
+                    min_spp=4, max_spp=32, contrast_threshold=0.5,
+                    progress: Optional[Callable] = None, filter_name="box",
+                    filter_params=None):
+    """Adaptive supersampling (adaptive_sampler.dart:36-220), wavefront
+    formulation: a first pass renders min_spp waves while tracking per-pixel
+    luminance min/max; pixels whose sample contrast
+    (maxL-minL)/(maxL+minL) exceeds the threshold
+    (ADAPTIVE_CONTRAST_THRESHOLD, :37) get the remaining max_spp-min_spp
+    waves — traced with every non-refined lane dead (tmax<tmin), which the
+    sorted traversal kernel short-circuits, so refinement cost scales with
+    the refined-pixel count. The additive film normalizes by per-pixel
+    weight, so uneven spp is exact."""
+    import jax.numpy as jnp
+    from .. import film as film_mod
+
+    film = film_mod.make_film(width, height, filter_name=filter_name,
+                              filter_params=filter_params)
+    px, py = pixel_grid(width, height)
+    n = px.shape[0]
+
+    def wave_lum(scene, camera, sampler, film, px, py, s_idx):
+        cs = smp_mod.camera_samples(sampler, px, py, s_idx)
+        diff_scale = 1.0 / np.sqrt(max(max_spp, 1))
+        rays, diffs, weight = cam_mod.generate_rays(camera, cs, width,
+                                                    height, diff_scale)
+        sctx = {"sampler": sampler, "px": px, "py": py, "s_idx": s_idx}
+        L = li_fn(scene, rays, diffs, sctx)
+        L = L * weight[:, None]
+        lum = 0.212671 * L[:, 0] + 0.715160 * L[:, 1] + 0.072169 * L[:, 2]
+        return film_mod.add_samples(film, cs.image_xy, L), lum
+
+    step = jax.jit(partial(wave_lum), donate_argnames=("film",))
+    lmin = jnp.full((n,), jnp.inf)
+    lmax = jnp.full((n,), -jnp.inf)
+    for s in range(min_spp):
+        film, lum = step(scene, camera, sampler, film, px, py,
+                         jnp.full((n,), s, jnp.int32))
+        lmin = jnp.minimum(lmin, lum)
+        lmax = jnp.maximum(lmax, lum)
+        if progress is not None:
+            progress(s + 1, max_spp, film)
+    contrast = (lmax - lmin) / jnp.maximum(lmax + lmin, 1e-6)
+    refine = (contrast > contrast_threshold) & jnp.isfinite(contrast)
+
+    def wave_masked(scene, camera, sampler, film, px, py, s_idx, refine):
+        cs = smp_mod.camera_samples(sampler, px, py, s_idx)
+        diff_scale = 1.0 / np.sqrt(max(max_spp, 1))
+        rays, diffs, weight = cam_mod.generate_rays(camera, cs, width,
+                                                    height, diff_scale)
+        rays = rays._replace(tmax=jnp.where(refine, rays.tmax, -1.0))
+        sctx = {"sampler": sampler, "px": px, "py": py, "s_idx": s_idx}
+        L = li_fn(scene, rays, diffs, sctx)
+        L = L * weight[:, None]
+        return film_mod.add_samples(film, cs.image_xy, L, mask=refine)
+
+    step2 = jax.jit(partial(wave_masked), donate_argnames=("film",))
+    for s in range(min_spp, max_spp):
+        film = step2(scene, camera, sampler, film, px, py,
+                     jnp.full((n,), s, jnp.int32), refine)
+        if progress is not None:
+            progress(s + 1, max_spp, film)
+    n_refined = int(jnp.sum(refine))
+    return np.asarray(film_mod.to_rgb(film)), n_refined

@@ -74,6 +74,9 @@ class RenderJob:
     # eta, scale)} — consumed by the dipolesubsurface pipeline
     # (subsurface_material.dart / dartray.dart:637-764 renderer special-case)
     sss: dict = dataclasses.field(default_factory=dict)
+    # adaptive sampler (minsamples, maxsamples) or None
+    # (adaptive_sampler.dart:36-220)
+    adaptive: tuple = None
 
 
 class PbrtAPI:
@@ -497,8 +500,18 @@ class PbrtAPI:
                            tuple(float(x) for x in sa * scale), float(eta))
             return row
         if name == "measured":
-            self.log(f"note: material {name!r} approximated (pending "
-                     "measured-BRDF support)")
+            fname = geom_params.find_one_string("filename", "")
+            if fname and self.resolver is not None:
+                from ..io import merl
+                try:
+                    data = merl.load(self.resolver(fname, binary=True),
+                                     fname)
+                    return mat_mod.measured(data, key=fname,
+                                            tex_ids=tex_ids)
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"warning: measured {fname!r} failed: {e}")
+            self.log("warning: measured material without loadable file; "
+                     "using matte")
             return mat_mod.matte(kd=(0.5,) * 3)
         self.log(f"warning: unknown material {name!r}; using matte")
         return mat_mod.matte()
@@ -558,13 +571,24 @@ class PbrtAPI:
         elif name in ("projection", "goniometric"):
             i = params.find_one_spectrum("I", (1, 1, 1)) * scale_
             p = np.asarray(l2w.xform_point(np.zeros(3, np.float32)))
+            # load the projector / goniophotometric map
+            # (projection_light.dart:181, goniometric_light.dart:117)
+            mapname = params.find_one_string("mapname", "")
+            img = None
+            if mapname and self.resolver is not None:
+                from ..io import image as io_img
+                try:
+                    img = io_img.load(self.resolver(mapname, binary=True),
+                                      mapname)
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"warning: light map {mapname!r} failed: {e}")
             if name == "projection":
                 fov = params.find_one_float("fov", 45.0)
                 self.builder.add_light(lt_mod.projection_light(
-                    tuple(p), w2l, tuple(i), fov))
+                    tuple(p), w2l, tuple(i), fov, proj_map=img))
             else:
                 self.builder.add_light(lt_mod.goniometric_light(
-                    tuple(p), w2l, tuple(i)))
+                    tuple(p), w2l, tuple(i), gonio_map=img))
         else:
             self.log(f"warning: unknown light {name!r}")
 
@@ -768,6 +792,13 @@ class PbrtAPI:
             xs = smp_p.find_one_int("xsamples", 2)
             ys = smp_p.find_one_int("ysamples", 2)
             spp = xs * ys
+        adaptive = None
+        if smp_name == "adaptive":
+            # adaptive_sampler.dart:192-196 (contrast method; the shape-id
+            # method is N/A in the wavefront design — documented)
+            adaptive = (smp_p.find_one_int("minsamples", 4),
+                        smp_p.find_one_int("maxsamples", 32))
+            spp = adaptive[1]
         sampler = smp_mod.make_sampler(
             smp_name if smp_name in ("lowdiscrepancy", "02sequence",
                                      "stratified", "random", "halton",
@@ -801,7 +832,7 @@ class PbrtAPI:
                          surf_integrator=si_name, surf_params=si_p,
                          vol_integrator=vi_name, vol_params=vi_p,
                          renderer=r_name, renderer_params=r_p, crop=crop,
-                         sss=dict(self.sss_map))
+                         sss=dict(self.sss_map), adaptive=adaptive)
 
 
 def _coord_sys(d):

@@ -110,3 +110,52 @@ def test_surfacepoints_renderer_dispatch(tmp_path):
 def test_aggregatetest_renderer_dispatch():
     rend = 'Renderer "aggregatetest" "integer niters" [4096]'
     manager.render_pbrt(scene_text(rend=rend, w=4, h=4, spp=1))
+
+
+def test_adaptive_sampler_dispatch():
+    """adaptive halves variance at the light edge vs uniform min-spp;
+    end-to-end through the .pbrt sampler declaration."""
+    smp = ('Sampler "adaptive" "integer minsamples" [2] '
+           '"integer maxsamples" [8]')
+    text = scene_text().replace(
+        'Sampler "lowdiscrepancy" "integer pixelsamples" [2]', smp)
+    img = manager.render_pbrt(text)
+    _finite_nonblack(img)
+
+
+def test_projection_light_projects_map(tmp_path):
+    """projection light must project its mapname image (a half-red,
+    half-green projector -> colored wall halves)."""
+    import numpy as np
+    from dartray_tpu.io import image as io_img
+    m = np.zeros((8, 8, 3), np.float32)
+    m[:, :4, 0] = 1.0
+    m[:, 4:, 1] = 1.0
+    f = str(tmp_path / "proj.pfm")
+    io_img.save(f, m)
+    scene = f"""
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "lowdiscrepancy" "integer pixelsamples" [1]
+SurfaceIntegrator "directlighting"
+LookAt 0 0 -3  0 0 1  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+Material "matte" "color Kd" [0.8 0.8 0.8]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-3 -3 2  3 -3 2  3 3 2  -3 3 2]
+AttributeBegin
+  LightSource "projection" "color I" [20 20 20] "float fov" [40]
+    "string mapname" ["{f}"]
+AttributeEnd
+WorldEnd
+"""
+    img = manager.render_pbrt(scene)
+    assert np.isfinite(img).all()
+    left = img[10:14, 2:10]
+    right = img[10:14, 14:22]
+    # one side red-dominant, the other green-dominant
+    sides = sorted([(left[..., 0].mean(), left[..., 1].mean()),
+                    (right[..., 0].mean(), right[..., 1].mean())])
+    assert sides[0][1] > sides[0][0] or sides[1][0] > sides[1][1], \
+        (left.mean(0).mean(0), right.mean(0).mean(0))
+    assert img.max() > 0.01
