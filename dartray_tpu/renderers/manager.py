@@ -213,6 +213,8 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
         return np.zeros((job.height, job.width, 3), np.float32)
     if rname != "sampler":
         log(f"warning: unknown renderer {rname!r}; using sampler")
+    from .. import stats as stats_mod
+    st_ = stats_mod.RenderStats()
     li = build_li(job, log=log)
     if job.adaptive is not None:
         mn, mx = job.adaptive
@@ -222,10 +224,23 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
             filter_name=job.filter_name, filter_params=job.filter_params)
         log(f"adaptive: refined {n_ref} pixels to {mx} spp")
         return img
-    return rend.render(job.scene, job.camera, job.sampler, li,
-                       job.width, job.height, progress=progress,
-                       filter_name=job.filter_name,
-                       filter_params=job.filter_params)
+    img = rend.render(job.scene, job.camera, job.sampler, li,
+                      job.width, job.height, progress=progress,
+                      filter_name=job.filter_name,
+                      filter_params=job.filter_params, stats=st_)
+    # exact issued traversal-query accounting (static wavefront shapes)
+    depth = job.surf_params.find_one_int("maxdepth", 5)
+    n_px = job.width * job.height
+    if job.surf_integrator == "ambientocclusion":
+        per_wave = n_px * (1 + job.surf_params.find_one_int("nsamples", 2048))
+    else:
+        per_wave = n_px * 2 * (depth + 1)
+    st_.add("rays/traversal_queries",
+            per_wave * st_.counters.get("waves", 0))
+    st_.add("scene/triangles", job.scene.geometry.n_prims)
+    st_.add("scene/bvh_nodes", job.scene.geometry.n_nodes)
+    log(st_.summary())
+    return img
 
 
 def _aggregate_test(scene, n_iters=100_000, log=print):

@@ -67,8 +67,9 @@ def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
 
 def render(scene, camera, sampler, li_fn, width, height,
            progress: Optional[Callable] = None, filter_name="box",
-           filter_params=None):
-    """Full render: returns (H, W, 3) linear RGB."""
+           filter_params=None, stats=None):
+    """Full render: returns (H, W, 3) linear RGB. Pass a stats.RenderStats
+    to collect per-phase timings + exact wavefront counters."""
     film = film_mod.make_film(width, height, filter_name=filter_name,
                               filter_params=filter_params)
     px, py = pixel_grid(width, height)
@@ -77,13 +78,34 @@ def render(scene, camera, sampler, li_fn, width, height,
     step = jax.jit(partial(render_wave, li_fn=li_fn, width=width,
                            height=height, spp=spp),
                    static_argnames=())
-    for s in range(spp):
+    if stats is not None:
+        with stats.time("time/compile+first_wave"):
+            film = step(scene, camera, sampler, film=film, px=px, py=py,
+                        s_idx=jnp.zeros(px.shape, jnp.int32))
+            jax.block_until_ready(film.pixels)
+        stats.add("waves", 1)
+        stats.add("rays/camera", px.shape[0])
+        start = 1
+        if progress is not None:
+            progress(1, spp, film)
+    else:
+        start = 0
+    ctx = stats.time("time/render") if stats is not None else None
+    if ctx is not None:
+        ctx.__enter__()
+    for s in range(start, spp):
         s_idx = jnp.full(px.shape, s, jnp.int32)
         film = step(scene, camera, sampler, film=film, px=px, py=py,
                     s_idx=s_idx)
+        if stats is not None:
+            stats.add("waves", 1)
+            stats.add("rays/camera", px.shape[0])
         if progress is not None:
             progress(s + 1, spp, film)
-    return np.asarray(film_mod.to_rgb(film))
+    out = np.asarray(film_mod.to_rgb(film))
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
+    return out
 
 
 def render_adaptive(scene, camera, sampler, li_fn, width, height,

@@ -86,6 +86,7 @@ class PbrtAPI:
         self.resolver = resolver
         self.log = log
         self.state = "options"
+        ps.SPD_LOADER = self._load_spd
         # 2-slot CTM for motion blur (dartray.dart:85-88)
         self.ctm = [tr.identity(), tr.identity()]
         self.active = ALL_TRANSFORMS_BITS
@@ -619,6 +620,26 @@ class PbrtAPI:
             self.builder.add_mesh(m, mat_id, area_light_L=L, n_samples=ns)
         else:
             self.builder.add_mesh(m, mat_id)
+
+    def _load_spd(self, name: str):
+        """Read an .spd file (whitespace floats, # comments) ->
+        (lambdas, values) — param_set.dart AddSampledSpectrumFiles /
+        ReadFloatFile."""
+        if self.resolver is None:
+            return None
+        try:
+            import re as _re
+            text = self.resolver(name)
+            if isinstance(text, bytes):
+                text = text.decode("utf-8", "replace")
+            toks = [t for t in _re.split(
+                r"\s+", _re.sub(r"#[^\n]*", " ", text)) if t]
+            arr = np.asarray([float(t) for t in toks],
+                             np.float64).reshape(-1, 2)
+            return arr[:, 0], arr[:, 1]
+        except Exception as e:  # noqa: BLE001
+            self.log(f"warning: spd file {name!r} failed: {e}")
+            return None
 
     def _material_id(self, row: dict) -> int:
         key = repr(sorted((k, str(v)) for k, v in row.items()))

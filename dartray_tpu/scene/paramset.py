@@ -13,6 +13,11 @@ import numpy as np
 
 from ..core import spectrum as spec
 
+# Hook installed by the API while a scene is being built: .spd filename ->
+# (lambdas, values) numpy arrays, or None on failure (the reference routes
+# this through the static ResourceManager, resource_manager.dart:24).
+SPD_LOADER = None
+
 _TYPES = {"float", "integer", "bool", "string", "point", "vector", "normal",
           "rgb", "color", "xyz", "blackbody", "spectrum", "texture"}
 
@@ -88,7 +93,13 @@ class ParamSet:
                 return np.asarray(spec.spd_to_rgb(lam, sp)) * scale
             if t == "spectrum":
                 if isinstance(v[0], str):
-                    return np.asarray(default, np.float64)  # .spd file: caller
+                    # .spd file reference (param_set.dart AddSampledSpectrumFiles)
+                    if SPD_LOADER is not None:
+                        lv = SPD_LOADER(str(v[0]))
+                        if lv is not None:
+                            return np.asarray(
+                                spec.spd_to_rgb(lv[0], lv[1]), np.float64)
+                    return np.asarray(default, np.float64)
                 arr = np.asarray(v, np.float64).reshape(-1, 2)
                 return np.asarray(spec.spd_to_rgb(arr[:, 0], arr[:, 1]),
                                   np.float64)
