@@ -85,8 +85,16 @@ def main():
     from dartray_tpu.renderers import sampler as rend
     from functools import partial
 
+    # claim the (possibly tunneled) device up front — the one-time claim
+    # handshake can take minutes and must not pollute the build/warmup timings
     t0 = time.time()
-    scene = build_bench_scene()
+    jax.block_until_ready(jnp.zeros((8,)))
+    claim_s = time.time() - t0
+    print(f"[bench] device claim: {claim_s:.1f}s", file=sys.stderr,
+          flush=True)
+
+    t0 = time.time()
+    scene = build_bench_scene()     # pure host numpy (no device round-trips)
     build_s = time.time() - t0
     print(f"[bench] scene+bvh build: {build_s:.1f}s", file=sys.stderr,
           flush=True)
@@ -103,8 +111,10 @@ def main():
                            height=height, spp=spp_budget),
                    donate_argnames=("film",))
 
-    # warmup/compile (untimed; includes the slow tunnel handshake)
+    # warmup: one scene transfer + compile
     t0 = time.time()
+    from dartray_tpu.scene import types as st_mod
+    scene = st_mod.to_device(scene)
     film = step(scene, cam, smp, film, px, py,
                 jnp.zeros(px.shape, jnp.int32))
     jax.block_until_ready(film.pixels)

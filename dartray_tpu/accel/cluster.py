@@ -158,13 +158,15 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         te1[ci, :m] = e1[idx]
         te2[ci, :m] = e2[idx]
         tid[ci, :m] = idx
+    # host numpy end-to-end: the caller does ONE jax.device_put of the
+    # finished scene (building on-device round-trips every array through the
+    # possibly-tunneled chip — measured 6x build regression, VERDICT r2 #2)
     return ClusterBVH(
-        node_lo=jnp.asarray(nb_lo[:n_nodes], jnp.float32),
-        node_hi=jnp.asarray(nb_hi[:n_nodes], jnp.float32),
-        node_child=jnp.asarray(child[:n_nodes], jnp.int32),
-        node_axis=jnp.asarray(axis_arr[:n_nodes], jnp.int32),
-        tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(te1),
-        tri_e2=jnp.asarray(te2), tri_id=jnp.asarray(tid),
+        node_lo=np.ascontiguousarray(nb_lo[:n_nodes], np.float32),
+        node_hi=np.ascontiguousarray(nb_hi[:n_nodes], np.float32),
+        node_child=np.ascontiguousarray(child[:n_nodes], np.int32),
+        node_axis=np.ascontiguousarray(axis_arr[:n_nodes], np.int32),
+        tri_v0=tv0, tri_e1=te1, tri_e2=te2, tri_id=tid,
         n_nodes=n_nodes, n_clusters=c_n, k=k, max_depth=max_depth)
 
 
@@ -191,10 +193,11 @@ def _native_build(v0, e1, e2, k):
     te2[valid] = e2[ids[valid]]
     tid[valid] = ids[valid]
     return ClusterBVH(
-        node_lo=jnp.asarray(node_lo), node_hi=jnp.asarray(node_hi),
-        node_child=jnp.asarray(node_child), node_axis=jnp.asarray(node_axis),
-        tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(te1),
-        tri_e2=jnp.asarray(te2), tri_id=jnp.asarray(tid),
+        node_lo=np.asarray(node_lo, np.float32),
+        node_hi=np.asarray(node_hi, np.float32),
+        node_child=np.asarray(node_child, np.int32),
+        node_axis=np.asarray(node_axis, np.int32),
+        tri_v0=tv0, tri_e1=te1, tri_e2=te2, tri_id=tid,
         n_nodes=int(n_nodes), n_clusters=int(n_clusters), k=int(k),
         max_depth=int(max_depth))
 

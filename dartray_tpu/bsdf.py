@@ -78,6 +78,10 @@ class BSDFParams(NamedTuple):
     # reflection lobe sampled through the DIFF_R cosine machinery (the
     # reference's default BxDF sampling for measured data).
     meas: tuple = None
+    # Ashikhmin-Shirley anisotropic exponent ey (anisotropic.dart). None or
+    # == exponent -> isotropic Blinn (the anisotropic formulas reduce to
+    # Blinn exactly at ex == ey, so one code path serves both).
+    exponent_v: jnp.ndarray = None
 
 
 def zero_params(r) -> BSDFParams:
@@ -209,6 +213,20 @@ def _blinn_d(exponent, cos_h):
         jnp.maximum(jnp.abs(cos_h), 1e-8), exponent)
 
 
+def _ey(p: BSDFParams):
+    return p.exponent if p.exponent_v is None else p.exponent_v
+
+
+def _aniso_d(ex, ey, wh):
+    """Ashikhmin-Shirley anisotropic D (anisotropic.dart D); equals Blinn D
+    when ex == ey."""
+    costh = jnp.abs(wh[..., 2])
+    ds = jnp.maximum(1.0 - costh * costh, 1e-12)
+    e = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
+    return jnp.sqrt(jnp.maximum((ex + 2.0) * (ey + 2.0), 0.0)) \
+        * (0.5 * INV_PI) * jnp.power(jnp.maximum(costh, 1e-8), e)
+
+
 def _ts_g(wo, wi, wh):
     """Torrance-Sparrow geometric term (microfacet.dart G)."""
     ndoth = abs_cos_theta(wh)
@@ -229,7 +247,7 @@ def _gloss_f(p: BSDFParams, ks, wo, wi):
     wh = jnp.where((wh[..., 2] < 0)[..., None], -wh, wh)
     cos_o = abs_cos_theta(wo)
     cos_i = abs_cos_theta(wi)
-    d = _blinn_d(p.exponent, wh[..., 2])
+    d = _aniso_d(p.exponent, _ey(p), wh)
     g = _ts_g(wo, wi, wh)
     f_h = _glossy_fresnel(p, vm.dot(wi, wh))
     micro = ks * (d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-8))[..., None] \
@@ -255,12 +273,38 @@ def _blinn_sample_wh(exponent, u):
     return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
 
 
-def _blinn_pdf(exponent, wo, wi):
+def _aniso_sample_wh(ex, ey, u):
+    """Anisotropic half-vector sampling (anisotropic.dart sample_f /
+    sampleFirstQuadrant + 4-quadrant mirroring); uniform-phi Blinn sampling
+    when ex == ey."""
+    u1, u2 = u[..., 0], u[..., 1]
+    q = jnp.minimum((u1 * 4.0).astype(jnp.int32), 3)
+    u1q = jnp.clip(u1 * 4.0 - q.astype(jnp.float32), 0.0, 1.0 - 1e-7)
+    phi_q = jnp.arctan(jnp.sqrt((ex + 1.0) / (ey + 1.0))
+                       * jnp.tan(0.5 * np.pi * u1q))
+    cph = jnp.cos(phi_q)
+    sph = jnp.sin(phi_q)
+    ct = jnp.power(jnp.maximum(u2, 1e-9),
+                   1.0 / (ex * cph * cph + ey * sph * sph + 1.0))
+    phi = jnp.where(q == 0, phi_q,
+                    jnp.where(q == 1, np.pi - phi_q,
+                              jnp.where(q == 2, np.pi + phi_q,
+                                        2.0 * np.pi - phi_q)))
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+
+
+def _aniso_pdf(ex, ey, wo, wi):
+    """pdf of _aniso_sample_wh mapped to wi (anisotropic.dart pdf);
+    equals the Blinn pdf when ex == ey."""
     wh = vm.normalize(wo + wi)
-    cos_h = abs_cos_theta(wh)
+    costh = abs_cos_theta(wh)
+    ds = jnp.maximum(1.0 - costh * costh, 1e-12)
+    e = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
+    d = jnp.sqrt(jnp.maximum((ex + 1.0) * (ey + 1.0), 0.0)) \
+        * (0.5 * INV_PI) * jnp.power(jnp.maximum(costh, 1e-8), e)
     wodoth = jnp.abs(vm.dot(wo, wh))
-    pdf_h = ((exponent + 1.0) * jnp.power(jnp.maximum(cos_h, 1e-8), exponent)
-             / (2.0 * np.pi * jnp.maximum(4.0 * wodoth, 1e-8)))
+    pdf_h = d / jnp.maximum(4.0 * wodoth, 1e-8)
     return jnp.where(same_hemisphere(wo, wi), pdf_h, 0.0)
 
 
@@ -393,10 +437,10 @@ def pdf(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
     pd = smp.cosine_hemisphere_pdf(abs_cos_theta(wi))
     total += jnp.where(act[DIFF_R] & same_hemisphere(wo, wi), pd, 0.0)
     total += jnp.where(act[DIFF_T] & ~same_hemisphere(wo, wi), pd, 0.0)
-    pg = _blinn_pdf(p.exponent, wo, wi)
+    pg = _aniso_pdf(p.exponent, _ey(p), wo, wi)
     total += jnp.where(act[GLOSS_R], pg, 0.0)
     wif = wi * jnp.asarray([1.0, 1.0, -1.0])
-    pgt = _blinn_pdf(p.exponent, wo, wif)
+    pgt = _aniso_pdf(p.exponent, _ey(p), wo, wif)
     total += jnp.where(act[GLOSS_T], pgt, 0.0)
     # specular lobes contribute 0 to pdf but count in the average
     return total / jnp.maximum(n_match, 1.0)
@@ -433,7 +477,7 @@ def sample_f(p: BSDFParams, frame: Frame, wo_w, u2, uc,
     wi_dr = jnp.where((wo[..., 2] < 0)[..., None], wi_dr * jnp.asarray(
         [1.0, 1.0, -1.0]), wi_dr)
     wi_dt = wi_dr * jnp.asarray([1.0, 1.0, -1.0])
-    wh = _blinn_sample_wh(p.exponent, u2)
+    wh = _aniso_sample_wh(p.exponent, _ey(p), u2)
     wh = jnp.where((wo[..., 2] < 0)[..., None],
                    wh * jnp.asarray([1.0, 1.0, -1.0]), wh)
     wi_gr = -wo + wh * (2.0 * vm.dot(wo, wh))[..., None]

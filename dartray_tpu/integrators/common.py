@@ -190,26 +190,37 @@ def uniform_sample_one_light(scene, it, frame, params, wo, u_select,
 def uniform_sample_all_lights(scene, it, frame, params, wo, sctx, dim0,
                               n_samples_per_light=1,
                               flags=bx.ALL & ~bx.SPECULAR):
-    """Loop over every light (integrator.dart:39-77), static python loop."""
+    """Sum direct light over every light (integrator.dart:39-77).
+
+    Wavefront restructure: one `lax.fori_loop` over (light, sample) pairs —
+    compile time and program size are FLAT in the light count (the round-2
+    Python loop recompiled/retraced per light, scaling the directlighting
+    "all"-strategy and whitted compile linearly in n_lights). Each iteration
+    runs a full estimate_direct wave (2 traversals) with a traced light index
+    and traced sample dimensions; the counter-based samplers hash the traced
+    dim, so each (light, sample) pair draws independent stratified points."""
     from .. import samplers as smp_mod
     n_lights = scene.lights.n
     r = it["p"].shape[0]
-    total = jnp.zeros((r, 3), jnp.float32)
-    dim = dim0
-    for li in range(n_lights):
-        acc = jnp.zeros((r, 3), jnp.float32)
-        for s in range(n_samples_per_light):
-            u_l = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
-                                    sctx["s_idx"], dim)
-            uc_l = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
-                                     sctx["s_idx"], dim + 2)
-            u_b = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
-                                    sctx["s_idx"], dim + 3)
-            uc_b = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
-                                     sctx["s_idx"], dim + 5)
-            dim += 6
-            idx = jnp.full((r,), li, jnp.int32)
-            acc = acc + estimate_direct(scene, it, frame, params, wo, idx,
-                                        u_l, uc_l, u_b, uc_b, flags)
-        total = total + acc / float(n_samples_per_light)
+    ns = int(n_samples_per_light)
+    inv_ns = 1.0 / float(ns)
+
+    def body(i, total):
+        li = (i // ns).astype(jnp.int32)
+        dim = dim0 + i * 6
+        u_l = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
+                                sctx["s_idx"], dim)
+        uc_l = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
+                                 sctx["s_idx"], dim + 2)
+        u_b = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
+                                sctx["s_idx"], dim + 3)
+        uc_b = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
+                                 sctx["s_idx"], dim + 5)
+        idx = jnp.full((r,), 0, jnp.int32) + li
+        ld = estimate_direct(scene, it, frame, params, wo, idx,
+                             u_l, uc_l, u_b, uc_b, flags)
+        return total + ld * inv_ns
+
+    total = jax.lax.fori_loop(0, n_lights * ns, body,
+                              jnp.zeros((r, 3), jnp.float32))
     return total

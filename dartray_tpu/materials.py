@@ -36,7 +36,7 @@ N_TEX_SLOTS = 8
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["kd", "sigma", "kd_t", "ks", "exponent",
+         data_fields=["kd", "sigma", "kd_t", "ks", "exponent", "exponent_v",
                       "gloss_fresnel", "ks_t", "kr", "spec_fresnel", "kt",
                       "eta", "eta_c", "k_c", "opacity", "tex_ids",
                       "meas_meta", "meas_pool"],
@@ -47,7 +47,8 @@ class MaterialTable:
     sigma: jnp.ndarray       # (M,)
     kd_t: jnp.ndarray        # (M, 3)
     ks: jnp.ndarray          # (M, 3)
-    exponent: jnp.ndarray    # (M,)
+    exponent: jnp.ndarray    # (M,) Blinn / Ashikhmin-Shirley ex
+    exponent_v: jnp.ndarray  # (M,) Ashikhmin-Shirley ey (== ex: isotropic)
     gloss_fresnel: jnp.ndarray  # (M,) int32
     ks_t: jnp.ndarray        # (M, 3)
     kr: jnp.ndarray          # (M, 3)
@@ -68,13 +69,17 @@ class MaterialTable:
 def _row(kd=(0, 0, 0), sigma=0.0, kd_t=(0, 0, 0), ks=(0, 0, 0),
          roughness=0.1, gloss_fresnel=FR_DIELECTRIC, ks_t=(0, 0, 0),
          kr=(0, 0, 0), spec_fresnel=FR_NOOP, kt=(0, 0, 0), eta=1.5,
-         eta_c=COPPER_ETA, k_c=COPPER_K, opacity=(1, 1, 1), tex_ids=None):
+         eta_c=COPPER_ETA, k_c=COPPER_K, opacity=(1, 1, 1), tex_ids=None,
+         vroughness=None):
     exponent = 1.0 / max(float(roughness), 1e-4)  # rough -> Blinn exponent
+    exponent_v = exponent if vroughness is None \
+        else 1.0 / max(float(vroughness), 1e-4)
     t = np.full(N_TEX_SLOTS, -1, np.int32)
     if tex_ids:
         for k, v in tex_ids.items():
             t[k] = v
     return dict(kd=kd, sigma=sigma, kd_t=kd_t, ks=ks, exponent=exponent,
+                exponent_v=exponent_v,
                 gloss_fresnel=gloss_fresnel, ks_t=ks_t, kr=kr,
                 spec_fresnel=spec_fresnel, kt=kt, eta=eta, eta_c=eta_c,
                 k_c=k_c, opacity=opacity, tex_ids=t)
@@ -117,7 +122,9 @@ def shinymetal(ks=(1.0,) * 3, kr=(1.0,) * 3, roughness=0.1, **tex):
 
 
 def substrate(kd=(0.5,) * 3, ks=(0.5,) * 3, roughness=0.1, **tex):
-    """substrate_material.dart: FresnelBlend (Ashikhmin-Shirley)."""
+    """substrate_material.dart: FresnelBlend (Ashikhmin-Shirley).
+    Pass vroughness for the anisotropic distribution (anisotropic.dart);
+    roughness then acts as uroughness."""
     return _row(kd=kd, ks=ks, roughness=roughness, gloss_fresnel=FR_BLEND,
                 **tex)
 
@@ -209,7 +216,7 @@ def build_table(rows: List[dict]) -> MaterialTable:
                  else np.zeros((1, 3), np.float32))
     return MaterialTable(
         kd=col("kd"), sigma=col("sigma"), kd_t=col("kd_t"), ks=col("ks"),
-        exponent=col("exponent"),
+        exponent=col("exponent"), exponent_v=col("exponent_v"),
         gloss_fresnel=col("gloss_fresnel", np.int32), ks_t=col("ks_t"),
         kr=col("kr"), spec_fresnel=col("spec_fresnel", np.int32),
         kt=col("kt"), eta=col("eta"), eta_c=col("eta_c"), k_c=col("k_c"),
@@ -231,6 +238,7 @@ def eval_params(table: MaterialTable, mat_id, textures=None,
     p = bsdf.BSDFParams(
         kd=table.kd[m], sigma=table.sigma[m], kd_t=table.kd_t[m],
         ks=table.ks[m], exponent=table.exponent[m],
+        exponent_v=table.exponent_v[m],
         gloss_fresnel=table.gloss_fresnel[m], ks_t=table.ks_t[m],
         kr=table.kr[m], spec_fresnel=table.spec_fresnel[m], kt=table.kt[m],
         eta=table.eta[m], eta_c=table.eta_c[m], k_c=table.k_c[m],
@@ -253,9 +261,13 @@ def eval_params(table: MaterialTable, mat_id, textures=None,
             upd["sigma"] = tex_mod.eval_or(
                 textures, tid[:, TEX_SIGMA], it, p.sigma[:, None])[:, 0]
         if TEX_ROUGH in used:
-            upd["exponent"] = 1.0 / jnp.maximum(tex_mod.eval_or(
+            new_exp = 1.0 / jnp.maximum(tex_mod.eval_or(
                 textures, tid[:, TEX_ROUGH], it,
                 (1.0 / jnp.maximum(p.exponent, 1e-4))[:, None])[:, 0], 1e-4)
+            upd["exponent"] = new_exp
+            # textured roughness applies to both axes of isotropic materials
+            upd["exponent_v"] = jnp.where(p.exponent_v == p.exponent,
+                                          new_exp, p.exponent_v)
         p = p._replace(**upd)
     return p
 

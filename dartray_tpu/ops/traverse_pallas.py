@@ -43,8 +43,9 @@ STACK_DEPTH = 128
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2"],
-         meta_fields=["n_nodes", "n_clusters", "k"])
+         data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2",
+                      "wbounds", "worder"],
+         meta_fields=["n_nodes", "n_clusters", "k", "n_wnodes"])
 @dataclasses.dataclass
 class PackedBVH:
     """Kernel-ready scene: node table + cluster-permuted triangle soup.
@@ -57,6 +58,11 @@ class PackedBVH:
     tv0/te1/te2: 3 x (C, K) per xyz component -> stored as (3, C, K) stacks
     Triangle j of cluster c sits at permuted prim id c*K + j; padded slots are
     degenerate (all-zero edges -> det 0 -> never hit).
+
+    Wide (8-ary) collapse of the same tree (accel/wide.py) for the v5 kernel:
+    wbounds: (W, 48) f32 rows [lox*8 loy*8 loz*8 hix*8 hiy*8 hiz*8], NaN pads
+    worder:  (W, 64) i32 rows of 8 octant-ordered entry groups (far-first
+             push order), entry = ref*8 + slot, ref < 0 -> leaf cluster.
     """
     bounds: jnp.ndarray
     meta: jnp.ndarray
@@ -64,9 +70,12 @@ class PackedBVH:
     tv0: jnp.ndarray   # (3, C, K)
     te1: jnp.ndarray
     te2: jnp.ndarray
+    wbounds: jnp.ndarray
+    worder: jnp.ndarray
     n_nodes: int
     n_clusters: int
     k: int
+    n_wnodes: int
 
 
 def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
@@ -94,13 +103,16 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     e1 = np.where(pad[..., None], 0.0, np.asarray(te1, np.float32))
     e2 = np.where(pad[..., None], 0.0, np.asarray(te2, np.float32))
     c, k = tid.shape
+    from ..accel.wide import build_wide
+    wbounds, worder, n_w = build_wide(node_lo, node_hi, node_child)
+    # host numpy — one device_put of the whole scene happens at render entry
     packed = PackedBVH(
-        bounds=jnp.asarray(bounds), meta=jnp.asarray(meta),
-        meta2=jnp.asarray(meta2),
-        tv0=jnp.asarray(np.moveaxis(v0, -1, 0).copy()),
-        te1=jnp.asarray(np.moveaxis(e1, -1, 0).copy()),
-        te2=jnp.asarray(np.moveaxis(e2, -1, 0).copy()),
-        n_nodes=n, n_clusters=c, k=k)
+        bounds=bounds, meta=meta, meta2=meta2,
+        tv0=np.moveaxis(v0, -1, 0).copy(),
+        te1=np.moveaxis(e1, -1, 0).copy(),
+        te2=np.moveaxis(e2, -1, 0).copy(),
+        wbounds=wbounds, worder=worder,
+        n_nodes=n, n_clusters=c, k=k, n_wnodes=n_w)
     return packed, tid.reshape(-1)
 
 
@@ -1072,6 +1084,220 @@ def traverse2(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Kernel v5: WIDE (8-ary) BVH traversal — the round-3 serialization fix.
+#
+# v3's node-step while_loop is scalar-bound: one binary node pop = ~229 ns
+# with the VPU idle. v5 pops one *wide* node per step and slab-tests all 8
+# children in a single (8, rows, 128) VPU evaluation: 8x fewer serial steps
+# for the same number of box tests. Child push order comes from the
+# per-octant precomputed far-first tables (accel/wide.py); the per-child hit
+# mask is reduced to ONE scalar bitmask (sum of 2^slot over hit children) so
+# the 8-entry push loop runs on pure scalar ALU with no VMEM spill
+# round-trip. Leaf clusters buffer + flush exactly as v3.
+# ---------------------------------------------------------------------------
+
+LBUF5 = 16
+
+
+def _kernel5(wb_ref, wo_ref,
+             v0x_ref, v0y_ref, v0z_ref,
+             e1x_ref, e1y_ref, e1z_ref,
+             e2x_ref, e2y_ref, e2z_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tmin_ref, tmax_ref,
+             t_out, prim_out, *rest,
+             k: int, rows: int, any_hit: bool, n_wnodes: int,
+             counters: bool = False):
+    if counters:
+        cnt_out, stack_ref, lbuf_ref = rest
+    else:
+        stack_ref, lbuf_ref = rest
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+    half = jnp.float32(rows * 128 / 2)
+    negx = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) > half
+    negy = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) > half
+    negz = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) > half
+    # block majority octant selects the push-order row group in worder
+    qw = (jnp.where(negx, 1, 0) + jnp.where(negy, 2, 0)
+          + jnp.where(negz, 4, 0)) * n_wnodes
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((rows, 128), -1, jnp.int32)
+    stack_ref[0] = jnp.int32(0)
+
+    o3 = (ox.reshape(1, rows, 128), oy.reshape(1, rows, 128),
+          oz.reshape(1, rows, 128))
+    d3 = (dx.reshape(1, rows, 128), dy.reshape(1, rows, 128),
+          dz.reshape(1, rows, 128))
+    ix3 = ix.reshape(1, rows, 128)
+    iy3 = iy.reshape(1, rows, 128)
+    iz3 = iz.reshape(1, rows, 128)
+    tmin3 = tmin.reshape(1, rows, 128)
+    alive3 = alive.reshape(1, rows, 128)
+    slot_w = jnp.int32(1) << jax.lax.broadcasted_iota(
+        jnp.int32, (8, 1, 1), 0)
+
+    def comp(row, c):
+        """(1,48) bounds row -> component c of the 8 child boxes, (8,1,1)."""
+        seg = row[:, 8 * c:8 * (c + 1)]              # (1, 8)
+        return jnp.transpose(seg, (1, 0)).reshape(8, 1, 1)
+
+    def node_steps(sp, nlb, t_best, prim, nsteps):
+        def cond(st):
+            sp, nlb, t_best, nsteps = st
+            return (sp > 0) & (nlb + 8 <= LBUF5)
+
+        def body(st):
+            sp, nlb, t_best, nsteps = st
+            nsteps = nsteps + 1
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            row = wb_ref[pl.ds(node, 1), :]          # (1, 48)
+            lox, loy, loz = comp(row, 0), comp(row, 1), comp(row, 2)
+            hix, hiy, hiz = comp(row, 3), comp(row, 4), comp(row, 5)
+            t0x = (lox - o3[0]) * ix3
+            t1x = (hix - o3[0]) * ix3
+            t0y = (loy - o3[1]) * iy3
+            t1y = (hiy - o3[1]) * iy3
+            t0z = (loz - o3[2]) * iz3
+            t1z = (hiz - o3[2]) * iz3
+            # NaN pad slots fail every comparison -> never hit
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmin3))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            if any_hit:
+                slab = (tn <= tf) & alive3 & (prim < 0)
+            else:
+                slab = (tn <= tf) & alive3
+            # per-child hit flags -> one scalar bitmask
+            hitc = jnp.any(slab, axis=(1, 2), keepdims=True)   # (8,1,1)
+            hitbits = jnp.sum(jnp.where(hitc, slot_w, 0))
+            # push far-first (precomputed per-octant order); pops are near-first
+            for s in range(8):
+                e = wo_ref[qw + node, s]
+                slot = e & 7
+                ref = jax.lax.shift_right_arithmetic(e, 3)
+                hit_s = ((hitbits >> slot) & 1) > 0
+                push = hit_s & (ref >= 0)
+                take = hit_s & (ref < 0)
+
+                @pl.when(push)
+                def _():
+                    stack_ref[sp] = ref
+
+                @pl.when(take)
+                def _():
+                    lbuf_ref[nlb] = -ref - 1
+
+                sp = sp + jnp.where(push, 1, 0)
+                nlb = nlb + jnp.where(take, 1, 0)
+            return sp, nlb, t_best, nsteps
+
+        return jax.lax.while_loop(cond, body, (sp, nlb, t_best, nsteps))
+
+    def flush(nlb, t_best, prim):
+        def round_fn(i, carry):
+            t_best, prim = carry
+            cid = lbuf_ref[i]
+
+            def col(ref):
+                row = ref[pl.ds(cid, 1), :]
+                return jnp.transpose(row, (1, 0)).reshape(k, 1, 1)
+
+            v0 = (col(v0x_ref), col(v0y_ref), col(v0z_ref))
+            e1 = (col(e1x_ref), col(e1y_ref), col(e1z_ref))
+            e2 = (col(e2x_ref), col(e2y_ref), col(e2z_ref))
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            if any_hit:
+                tm = jnp.where((alive & (prim < 0)).reshape(1, rows, 128),
+                               tm, jnp.float32(jnp.inf))
+            return _fold_packed(tm, t_best, prim, cid * k, k)
+
+        return jax.lax.fori_loop(0, nlb, round_fn, (t_best, prim))
+
+    def outer_cond(st):
+        sp, nlb, t_best, prim, nsteps, nleaf = st
+        live = (sp > 0) | (nlb > 0)
+        if any_hit:
+            live = live & ~jnp.all((prim >= 0) | ~alive)
+        return live
+
+    def outer_body(st):
+        sp, nlb, t_best, prim, nsteps, nleaf = st
+        sp, nlb, t_best, nsteps = node_steps(sp, nlb, t_best, prim, nsteps)
+        t_best, prim = flush(nlb, t_best, prim)
+        return sp, jnp.int32(0), t_best, prim, nsteps, nleaf + nlb
+
+    _, _, t_best, prim, nsteps, nleaf = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(1), jnp.int32(0), t0, prim0, jnp.int32(0), jnp.int32(0)))
+    t_out[:] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[:] = prim
+    if counters:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        cnt_out[:] = jnp.where(sub == 0, nsteps,
+                               jnp.where(sub == 1, nleaf, 0))
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
+                                   "counters"))
+def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+              block_rows: int = 8, interpret: bool = False,
+              counters: bool = False):
+    """v5: wide-BVH block traversal (8 children slab-tested per step)."""
+    planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tri_args = []
+    tri_specs = []
+    for arr in (bvh.tv0, bvh.te1, bvh.te2):
+        for c in range(3):
+            tri_args.append(arr[c])
+            tri_specs.append(full(arr[c]))
+
+    out_shape = [jax.ShapeDtypeStruct(shape2, jnp.float32),
+                 jax.ShapeDtypeStruct(shape2, jnp.int32)]
+    out_specs = [ray_spec, ray_spec]
+    if counters:
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kern = partial(_kernel5, k=bvh.k, rows=block_rows, any_hit=any_hit,
+                   n_wnodes=bvh.n_wnodes, counters=counters)
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        out_shape=tuple(out_shape),
+        in_specs=([full(bvh.wbounds), full(bvh.worder)]
+                  + tri_specs + [ray_spec] * 8),
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SMEM((LBUF5,), jnp.int32)],
+        interpret=interpret,
+    )(bvh.wbounds, bvh.worder, *tri_args, *planes)
+    t, prim = res[0], res[1]
+    if counters:
+        return t.reshape(-1)[:r], prim.reshape(-1)[:r], res[2]
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
+# ---------------------------------------------------------------------------
 # Wavefront glue: ray sorting + exact hit finishing (host-of-kernel XLA ops).
 # ---------------------------------------------------------------------------
 
@@ -1142,7 +1368,7 @@ def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
     the (approximate) blocker distance."""
     which = kernel or DEFAULT_KERNEL["any" if any_hit else "closest"]
     fn = {"v1": traverse, "v2": traverse2, "v3": traverse3,
-          "v4": traverse4}[which]
+          "v4": traverse4, "v5": traverse5}[which]
     br = DEFAULT_KERNEL["block_rows"]
     if sort:
         order = sort_order(o, d, tmin, tmax, lo, hi)

@@ -174,6 +174,9 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
     surfacepoints, aggregatetest."""
     rp = job.renderer_params
     rname = job.renderer
+    # scene arrays are host numpy until here; one transfer for the render
+    from ..scene import types as _st
+    job.scene = _st.to_device(job.scene)
     if rname == "metropolis":
         from . import metropolis as mlt
         return mlt.render(

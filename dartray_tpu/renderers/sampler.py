@@ -70,6 +70,8 @@ def render(scene, camera, sampler, li_fn, width, height,
            filter_params=None, stats=None):
     """Full render: returns (H, W, 3) linear RGB. Pass a stats.RenderStats
     to collect per-phase timings + exact wavefront counters."""
+    from ..scene import types as st
+    scene = st.to_device(scene)
     film = film_mod.make_film(width, height, filter_name=filter_name,
                               filter_params=filter_params)
     px, py = pixel_grid(width, height)
@@ -123,7 +125,9 @@ def render_adaptive(scene, camera, sampler, li_fn, width, height,
     weight, so uneven spp is exact."""
     import jax.numpy as jnp
     from .. import film as film_mod
+    from ..scene import types as st
 
+    scene = st.to_device(scene)
     film = film_mod.make_film(width, height, filter_name=filter_name,
                               filter_params=filter_params)
     px, py = pixel_grid(width, height)

@@ -437,10 +437,12 @@ class PbrtAPI:
                                                    T.TEX_ROUGH),
                                       tex_ids=tex_ids)
         if name == "substrate":
+            urough = f1("uroughness", 0.1, T.TEX_ROUGH)
             return mat_mod.substrate(kd=spec3("Kd", (0.5,) * 3, T.TEX_KD),
                                      ks=spec3("Ks", (0.5,) * 3, T.TEX_KS),
-                                     roughness=f1("uroughness", 0.1,
-                                                  T.TEX_ROUGH),
+                                     roughness=urough,
+                                     vroughness=geom_params.find_one_float(
+                                         "vroughness", urough),
                                      tex_ids=tex_ids)
         if name == "translucent":
             return mat_mod.translucent(
@@ -465,6 +467,10 @@ class PbrtAPI:
                 geom_params.find_one_string("namedmaterial2", ""))
             amt = spec3("amount", (0.5,) * 3)
             if m1 and m2:
+                self.log("warning: 'mix' material blends the two materials' "
+                         "PARAMETERS into one fixed-slot BSDF (the reference "
+                         "scales and stacks both lobe sets, "
+                         "mix_material.dart); highlight shapes can differ")
                 return mat_mod.mix_materials(m1, m2, amt)
             self.log("warning: mix material missing named materials")
             return mat_mod.matte()
@@ -820,6 +826,16 @@ class PbrtAPI:
             adaptive = (smp_p.find_one_int("minsamples", 4),
                         smp_p.find_one_int("maxsamples", 32))
             spp = adaptive[1]
+        if smp_name == "bestcandidate":
+            # best_candidate_sampler.dart:31's 4000-line precomputed
+            # Poisson-disk table is replaced by the scrambled (0,2)-sequence
+            # (comparable blue-noise quality, zero table memory)
+            self.log("warning: sampler 'bestcandidate' approximated by the "
+                     "scrambled (0,2) low-discrepancy sampler")
+        elif smp_name not in ("lowdiscrepancy", "02sequence", "stratified",
+                              "random", "halton", "adaptive"):
+            self.log(f"warning: unknown sampler {smp_name!r}; "
+                     f"using lowdiscrepancy")
         sampler = smp_mod.make_sampler(
             smp_name if smp_name in ("lowdiscrepancy", "02sequence",
                                      "stratified", "random", "halton",
@@ -840,6 +856,18 @@ class PbrtAPI:
 
         accel_name, accel_p = self.opts["accelerator"]
         split = accel_p.find_one_string("splitmethod", "sah")
+        if accel_name in ("kdtree", "grid"):
+            # documented redesign decision (kdtree_accel.dart:41,
+            # grid_accel.dart:33): pointer-chasing kd-tree/DDA-grid traversal
+            # is scalar-serial and has no efficient TPU mapping; every scene
+            # runs the vectorized cluster-BVH. Surface loudly, not silently.
+            self.log(f"warning: accelerator {accel_name!r} has no TPU-native "
+                     f"implementation; using the cluster BVH "
+                     f"(splitmethod={split!r}). Intersections are exact; "
+                     f"only the build/traversal strategy differs.")
+        elif accel_name not in ("bvh", "bruteforce"):
+            self.log(f"warning: unknown accelerator {accel_name!r}; "
+                     f"using the cluster BVH")
         if self.tex_ids:
             self.builder.textures = self.tex_builder.build()
         scene = self.builder.build(split_method=split)

@@ -107,20 +107,29 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     cb = cluster_mod.build(v0, e1, e2, split_method=split_method)
     wb = np.stack([np.asarray(cb.node_lo[0]), np.asarray(cb.node_hi[0])])
     from ..ops import traverse_pallas as tp
-    packed, perm = tp.pack(np.asarray(cb.node_lo), np.asarray(cb.node_hi),
-                           np.asarray(cb.node_child),
-                           np.asarray(cb.node_axis),
-                           np.asarray(cb.tri_v0), np.asarray(cb.tri_e1),
-                           np.asarray(cb.tri_e2), np.asarray(cb.tri_id))
+    # everything stays HOST numpy: one jax.device_put of the finished scene
+    # at render entry (to_device below) instead of dozens of host<->device
+    # round-trips over a possibly-tunneled chip during the build phase
+    packed, perm = tp.pack(cb.node_lo, cb.node_hi, cb.node_child,
+                           cb.node_axis, cb.tri_v0, cb.tri_e1, cb.tri_e2,
+                           cb.tri_id)
     return Geometry(
-        cl=cb, packed=packed, perm=jnp.asarray(perm),
-        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
-        vn=jnp.asarray(np.concatenate(vns)),
-        uv=jnp.asarray(np.concatenate(uvs)),
-        mat_id=jnp.asarray(np.concatenate(mids)),
-        light_id=jnp.asarray(np.concatenate(lids)),
-        world_bound=jnp.asarray(wb),
+        cl=cb, packed=packed, perm=perm,
+        v0=v0, e1=e1, e2=e2,
+        vn=np.concatenate(vns),
+        uv=np.concatenate(uvs),
+        mat_id=np.concatenate(mids),
+        light_id=np.concatenate(lids),
+        world_bound=wb.astype(np.float32),
         n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes)
+
+
+def to_device(tree):
+    """One-shot transfer of a (numpy-leaved) CompiledScene/Geometry pytree to
+    the default device. Idempotent — leaves already on device are untouched.
+    Call once at render entry; passing numpy leaves straight into a jitted
+    step would re-transfer them EVERY call."""
+    return jax.device_put(tree)
 
 
 def _use_pallas(geom) -> bool:
@@ -212,14 +221,18 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
         wo=-rays.d, mat_id=geom.mat_id[prim], light_id=geom.light_id[prim],
         prim=hits.prim, t=hits.t)
     if diffs is not None:
-        out["tex_width"] = _uv_footprint(p, ng, dpdu, dpdv, diffs)
+        duv = _uv_footprint(p, ng, dpdu, dpdv, diffs)
+        out["tex_duv"] = duv                       # (R,4) dudx dvdx dudy dvdy
+        out["tex_width"] = jnp.max(jnp.abs(duv), axis=-1)
     return out
 
 
 def _uv_footprint(p, ng, dpdu, dpdv, diffs):
     """Per-ray uv-space screen footprint: intersect the +1px x/y rays with
-    the tangent plane, solve the 2x2 system for du/dv per axis, return the
-    max |derivative| (computeDifferentials semantics)."""
+    the tangent plane, solve the 2x2 system for du/dv per axis, and return
+    the raw (R, 4) [dudx dvdx dudy dvdy] derivatives (computeDifferentials
+    semantics, differential_geometry.dart) — both ellipse axes, feeding the
+    anisotropic imagemap filter (mipmap.dart:226-340 lookup2 analog)."""
     def plane_hit(o, d):
         denom = vm.dot(d, ng)
         tt = vm.dot(p - o, ng) / jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
@@ -251,8 +264,7 @@ def _uv_footprint(p, ng, dpdu, dpdv, diffs):
 
     dudx, dvdx = solve(dpdx)
     dudy, dvdy = solve(dpdy)
-    return jnp.maximum(jnp.maximum(jnp.abs(dudx), jnp.abs(dvdx)),
-                       jnp.maximum(jnp.abs(dudy), jnp.abs(dvdy)))
+    return jnp.stack([dudx, dvdx, dudy, dvdy], axis=-1)
 
 
 def ray_epsilon(t):

@@ -277,6 +277,44 @@ def _img_lookup(tex: TextureData, tid, u, v, width=None):
     return c0 * (1 - t) + c1 * t
 
 
+ANISO_PROBES = 4       # fixed probe count (TPU-static replacement for the
+MAX_ANISO = 8.0        # data-dependent EWA texel loop, mipmap.dart:226-340)
+
+
+def _img_lookup_aniso(tex: TextureData, tid, u, v, duv):
+    """Anisotropic imagemap filtering (MIPMap.lookup2 / EWA semantics,
+    mipmap.dart:226-340), TPU redesign: instead of rasterizing the screen
+    ellipse over a data-dependent texel box, take ANISO_PROBES trilinear
+    probes spaced along the MAJOR ellipse axis at the mip level chosen by
+    the MINOR axis (the hardware "Feline" construction — same sharpening of
+    grazing-angle footprints, fixed gather count). Anisotropy is clamped to
+    MAX_ANISO by widening the minor axis, exactly as lookup2 does.
+
+    duv: (R, 4) [dudx dvdx dudy dvdy] uv-space footprint axes."""
+    d0 = duv[..., 0:2]
+    d1 = duv[..., 2:4]
+    l0 = jnp.sum(d0 * d0, axis=-1)
+    l1 = jnp.sum(d1 * d1, axis=-1)
+    swap = l1 > l0
+    major = jnp.where(swap[..., None], d1, d0)
+    minor_v = jnp.where(swap[..., None], d0, d1)
+    maj_len = jnp.sqrt(jnp.maximum(jnp.maximum(l0, l1), 1e-16))
+    min_len = jnp.sqrt(jnp.maximum(jnp.minimum(l0, l1), 1e-16))
+    # clamp anisotropy (mipmap.dart:245-252): widen minor, keep major
+    min_len = jnp.maximum(min_len, maj_len / MAX_ANISO)
+    acc = None
+    wsum = 0.0
+    for i in range(ANISO_PROBES):
+        t = (i + 0.5) / ANISO_PROBES - 0.5          # [-0.5, 0.5)
+        w_i = float(np.exp(-2.0 * (2.0 * t) ** 2))  # gaussian falloff
+        ui = u + major[..., 0] * t
+        vi = v + major[..., 1] * t
+        c = _img_lookup(tex, tid, ui, vi, min_len)
+        acc = c * w_i if acc is None else acc + c * w_i
+        wsum += w_i
+    return acc / wsum
+
+
 def _eval_leaf(tex: TextureData, tid, it):
     """Evaluate leaf kinds for all rays (masked select). Families absent
     from the table are skipped at trace time (kinds_present gating)."""
@@ -290,12 +328,18 @@ def _eval_leaf(tex: TextureData, tid, it):
     v = uv[..., 1] * sv + dv
     out = tex.value[tid]                                   # CONST
     if IMAGEMAP in present:
-        width = it.get("tex_width")
-        if width is not None:
-            # scale the uv footprint by the mapping scale (image_texture
+        duv = it.get("tex_duv")
+        if duv is not None:
+            # scale the uv footprint axes by the mapping scale (image_texture
             # passes dsdx = dudx * su etc.)
-            width = width * jnp.maximum(jnp.abs(su), jnp.abs(sv))
-        img = _img_lookup(tex, tid, u, v, width) * tex.value[tid]
+            sc = jnp.stack([su, sv, su, sv], axis=-1)
+            img = _img_lookup_aniso(tex, tid, u, v, duv * sc) \
+                * tex.value[tid]
+        else:
+            width = it.get("tex_width")
+            if width is not None:
+                width = width * jnp.maximum(jnp.abs(su), jnp.abs(sv))
+            img = _img_lookup(tex, tid, u, v, width) * tex.value[tid]
         out = jnp.where((kind == IMAGEMAP)[..., None], img, out)
     if UV in present:
         uvv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros_like(u)], axis=-1)

@@ -55,6 +55,42 @@ def test_trilinear_width_selects_levels():
     assert float(jnp.abs(fine[:, 0] - 0.5).min()) > 0.3
 
 
+def test_anisotropic_beats_trilinear_on_grazing_footprint():
+    """EWA-class anisotropic filtering (mipmap.dart:226-340 analog):
+    a footprint elongated along u but sharp along v must preserve v-stripes
+    that isotropic trilinear (driven by the max axis) washes out."""
+    img = np.zeros((64, 64, 3), np.float32)
+    img[::2, :, :] = 1.0          # stripes along v (rows), mean 0.5
+    b = tx.TextureBuilder()
+    tid = b.add(tx.IMAGEMAP, value=(1, 1, 1), image=img)
+    data = b.build()
+    n = 16
+    vs = (4 * np.arange(n) + 0.5) / 64.0      # texel-row centers
+    uv = np.stack([np.full(n, 0.3), vs], -1).astype(np.float32)
+    t = jnp.full((n,), tid, jnp.int32)
+    base = {"uv": jnp.asarray(uv), "p": jnp.zeros((n, 3))}
+    # footprint: anisotropy 4 (within the MAX_ANISO clamp): wide along u,
+    # sharp along v
+    dudx, dvdy = 1.0 / 32.0, 1.0 / 128.0
+    duv = np.broadcast_to(
+        np.asarray([dudx, 0.0, 0.0, dvdy], np.float32), (n, 4)).copy()
+    aniso = np.asarray(tx.evaluate(
+        data, t, dict(base, tex_duv=jnp.asarray(duv))))[:, 0]
+    tri = np.asarray(tx.evaluate(
+        data, t, dict(base, tex_width=jnp.full((n,), dudx))))[:, 0]
+    # supersampled ground truth over the parallelogram footprint
+    gt = np.empty(n)
+    ss = 256
+    for i in range(n):
+        us = 0.3 + (np.random.RandomState(i).rand(ss) - 0.5) * dudx
+        vv = vs[i] + (np.random.RandomState(100 + i).rand(ss) - 0.5) * dvdy
+        gt[i] = img[(np.floor((vv % 1) * 64)).astype(int),
+                    (np.floor((us % 1) * 64)).astype(int), 0].mean()
+    mse_a = float(np.mean((aniso - gt) ** 2))
+    mse_t = float(np.mean((tri - gt) ** 2))
+    assert mse_a < 0.5 * mse_t, (mse_a, mse_t)
+
+
 def test_checker_and_fbm_deterministic():
     b = tx.TextureBuilder()
     c1 = b.add(tx.CONST, (1, 1, 1))
