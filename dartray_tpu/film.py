@@ -194,6 +194,33 @@ def splat(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
     return dataclasses.replace(film, splat=film.splat.at[iy, ix].add(xyz))
 
 
+def save_checkpoint(path, film: Film, next_s: int):
+    """Film + sample-counter checkpoint (SURVEY §5: the additive
+    [XYZ|weight] film is a resumable accumulator by construction; adding the
+    next sample index + the deterministic (pixel, s_idx, dim)-keyed samplers
+    makes (film, next_s) a COMPLETE render checkpoint)."""
+    tmp = str(path) + ".tmp.npz"
+    np.savez(tmp, pixels=np.asarray(film.pixels),
+             splat=np.asarray(film.splat),
+             next_s=np.asarray(next_s, np.int64),
+             meta=np.asarray([film.width, film.height, film.x0, film.y0]))
+    import os
+    os.replace(tmp, str(path))
+
+
+def load_checkpoint(path, film: Film):
+    """Restore (film, next_s) saved by save_checkpoint; the passed film
+    supplies the filter table / static meta and must match the saved shape."""
+    d = np.load(str(path))
+    meta = d["meta"]
+    if tuple(meta[:2]) != (film.width, film.height):
+        raise ValueError(f"checkpoint resolution {tuple(meta[:2])} != "
+                         f"film ({film.width}, {film.height})")
+    film = dataclasses.replace(film, pixels=jnp.asarray(d["pixels"]),
+                               splat=jnp.asarray(d["splat"]))
+    return film, int(d["next_s"])
+
+
 def to_rgb(film: Film, splat_scale=0.0) -> jnp.ndarray:
     """Resolve to (H, W, 3) linear RGB: XYZToRGB(Lxyz)/weightSum +
     splatScale * XYZToRGB(splatXYZ) (image_film.dart:268-299)."""

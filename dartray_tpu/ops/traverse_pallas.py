@@ -1109,9 +1109,9 @@ def _kernel5(wb_ref, wo_ref,
              k: int, rows: int, any_hit: bool, n_wnodes: int,
              counters: bool = False):
     if counters:
-        cnt_out, stack_ref, lbuf_ref = rest
+        cnt_out, stack_ref, lbuf_ref, spill_ref = rest
     else:
-        stack_ref, lbuf_ref = rest
+        stack_ref, lbuf_ref, spill_ref = rest
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmin = tmin_ref[:]
@@ -1144,8 +1144,6 @@ def _kernel5(wb_ref, wo_ref,
     iz3 = iz.reshape(1, rows, 128)
     tmin3 = tmin.reshape(1, rows, 128)
     alive3 = alive.reshape(1, rows, 128)
-    slot_w = jnp.int32(1) << jax.lax.broadcasted_iota(
-        jnp.int32, (8, 1, 1), 0)
 
     def comp(row, c):
         """(1,48) bounds row -> component c of the 8 child boxes, (8,1,1)."""
@@ -1177,20 +1175,25 @@ def _kernel5(wb_ref, wo_ref,
                              jnp.maximum(jnp.minimum(t0z, t1z), tmin3))
             tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                          jnp.maximum(t0y, t1y)),
-                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+                             jnp.minimum(jnp.maximum(t0z, t1z),
+                                         t_best.reshape(1, rows, 128)))
             if any_hit:
-                slab = (tn <= tf) & alive3 & (prim < 0)
+                slab = (tn <= tf) & alive3 \
+                    & (prim < 0).reshape(1, rows, 128)
             else:
                 slab = (tn <= tf) & alive3
-            # per-child hit flags -> one scalar bitmask
-            hitc = jnp.any(slab, axis=(1, 2), keepdims=True)   # (8,1,1)
-            hitbits = jnp.sum(jnp.where(hitc, slot_w, 0))
+            # per-child hit counts -> (8,1) VMEM spill -> scalar reads
+            # (the v2 spill pattern; rank-1 / lane-1 int intermediates crash
+            # Mosaic's layout inference, so keep reductions rank-2 f32)
+            red = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=1)   # (8, 128)
+            red2 = jnp.sum(red, axis=1, keepdims=True)         # (8, 1)
+            spill_ref[:, 0:1] = red2
             # push far-first (precomputed per-octant order); pops are near-first
             for s in range(8):
                 e = wo_ref[qw + node, s]
                 slot = e & 7
                 ref = jax.lax.shift_right_arithmetic(e, 3)
-                hit_s = ((hitbits >> slot) & 1) > 0
+                hit_s = spill_ref[slot, 0] > 0.5
                 push = hit_s & (ref >= 0)
                 take = hit_s & (ref < 0)
 
@@ -1288,7 +1291,8 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
                   + tri_specs + [ray_spec] * 8),
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                        pltpu.SMEM((LBUF5,), jnp.int32)],
+                        pltpu.SMEM((LBUF5,), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
     )(bvh.wbounds, bvh.worder, *tri_args, *planes)
     t, prim = res[0], res[1]

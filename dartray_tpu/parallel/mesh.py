@@ -3,20 +3,33 @@
 TPU-native replacement for DartRay's share-nothing isolate decomposition
 (SURVEY §2.6: GetSubWindow tile split, full scene replication, sub-image
 compositing — lib/core/common.dart:52-73, lib/dartray_web/render_manager.dart:
-100-144). Here the distribution axes are: `tiles` (pixel dimension, the
-GetSubWindow analog) and `spp` (sample-index dimension); the scene pytree is
-replicated to every device, each device renders its (pixel-chunk x
-sample-chunk) wave, and the film is reduced with one psum over both axes —
-the postMessage sub-rect compositing becomes a single ICI all-reduce.
+100-144). Distribution axes: `tiles` (pixel rows, the GetSubWindow analog)
+and `spp` (sample-index dimension). The scene pytree is replicated; each
+device renders its (row-band x sample-chunk) wave into a TILE-LOCAL band
+film of shape (H/n_tiles + 2*margin, W, 4) — margin rows capture filter
+footprints that spill across band edges. Sample chunks are psum'd over the
+small `spp` axis only; the bands are then gathered and composited host-side
+by adding each band's rows into the full film (the additive XYZ+weight film
+makes overlap composition exact — the postMessage sub-rect compositing of
+render_manager.dart:108-133, at 1/n_tiles the ICI traffic of a full-film
+psum).
+
+Multi-host: call init_distributed() first (jax.distributed.initialize); the
+mesh then spans all processes and the band gather runs over DCN. When more
+than one process is present the bands are composed on-device with a psum
+into a replicated film instead of the host loop (every host gets the full
+image).
 
 Determinism: samples are keyed by (pixel, sample index, dimension), never by
-shard, so the N-device image is bit-identical to the 1-device image up to
-f32 reduction order (SURVEY §7).
+shard, so the N-device image equals the 1-device image (bit-exact for the
+box filter, where bands are disjoint; within f32 reduction order otherwise).
 """
 from __future__ import annotations
 
+import dataclasses
+import os
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 import jax
@@ -29,6 +42,27 @@ from .. import cameras as cam_mod
 from ..renderers import sampler as rend
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bring-up (the jax.distributed code path).
+
+    Reads JAX_COORDINATOR / JAX_NUM_PROCESSES / JAX_PROCESS_ID when args are
+    not given; no-op in single-process runs with no coordinator configured.
+    After this, jax.devices() spans every host and make_device_mesh builds a
+    global mesh (ICI within a slice, DCN across hosts)."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
+    if coordinator is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=(num_processes
+                       or int(os.environ.get("JAX_NUM_PROCESSES", "1"))),
+        process_id=(process_id
+                    or int(os.environ.get("JAX_PROCESS_ID", "0"))))
+    return True
+
+
 def make_device_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert n_tiles * n_spp <= len(devices), \
@@ -37,34 +71,61 @@ def make_device_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("tiles", "spp"))
 
 
-def render_sharded(scene, camera, sampler, li_fn: Callable, width: int,
-                   height: int, mesh: Mesh):
-    """Full sharded render -> (H, W, 3) linear RGB on host.
+def band_pixel_grid(width, height, n_tiles):
+    """Row-band pixel decomposition: band t owns rows [t*Hb, (t+1)*Hb).
 
-    Pixels are split along `tiles`, sample indices along `spp`; each device
-    loops its local sample indices (static count), accumulating into a
-    replicated-size film that is psum'd across the mesh.
-    """
+    Each band is Morton-ordered internally (packet coherence) and padded to
+    Hb*width pixels with dead lanes (py = -1). Returns (px, py, Hb)."""
+    hb = -(-height // n_tiles)
+    pxs, pys = [], []
+    for t in range(n_tiles):
+        y0 = t * hb
+        h_t = min(hb, height - y0)
+        if h_t > 0:
+            px, py = rend.pixel_grid(width, h_t, y0=y0)
+            px = np.asarray(px)
+            py = np.asarray(py)
+        else:
+            px = np.zeros((0,), np.int32)
+            py = np.zeros((0,), np.int32)
+        pad = hb * width - px.shape[0]
+        pxs.append(np.concatenate([px, np.zeros(pad, np.int32)]))
+        pys.append(np.concatenate([py, np.full(pad, -1, np.int32)]))
+    return (jnp.asarray(np.concatenate(pxs)),
+            jnp.asarray(np.concatenate(pys)), hb)
+
+
+def render_sharded(scene, camera, sampler, li_fn: Callable, width: int,
+                   height: int, mesh: Mesh, filter_name: str = "box",
+                   filter_params=None):
+    """Full sharded render -> (H, W, 3) linear RGB on host."""
+    from ..scene import types as st
+    scene = st.to_device(scene)
     n_tiles = mesh.shape["tiles"]
     n_spp = mesh.shape["spp"]
     spp = sampler.spp
-    px, py = rend.pixel_grid(width, height)
-    r = px.shape[0]
-    # pad pixel dim to a multiple of n_tiles
-    pad = (-r) % n_tiles
-    px = jnp.concatenate([px, jnp.full((pad,), 0, jnp.int32)])
-    py = jnp.concatenate([py, jnp.full((pad,), -1, jnp.int32)])  # y<0 masked
+    px, py, hb = band_pixel_grid(width, height, n_tiles)
+    # margin rows: filter taps reaching past the band edge
+    _, xw, yw = film_mod.filter_table(filter_name, filter_params)
+    margin = int(np.ceil(max(yw - 0.5, 0.0)))
+    band_h = hb + 2 * margin
     # pad sample dim
     spp_pad = (-spp) % n_spp
     s_all = jnp.concatenate([jnp.arange(spp, dtype=jnp.int32),
                              jnp.full((spp_pad,), -1, jnp.int32)])
     local_spp = (spp + spp_pad) // n_spp
-    film0 = film_mod.make_film(width, height)
+    film0 = film_mod.make_film(width, band_h, filter_name=filter_name,
+                               filter_params=filter_params)
+    multi_host = jax.process_count() > 1
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P("tiles"), P("tiles"), P("spp"), P()),
-             out_specs=P(), check_vma=False)
+             out_specs=(P() if multi_host
+                        else (P("tiles"), P("tiles"))),
+             check_vma=False)
     def shard_render(scene, camera, sampler, px_l, py_l, s_l, film):
+        t_idx = jax.lax.axis_index("tiles")
+        y_shift = (t_idx * hb - margin).astype(jnp.float32)
         for k in range(local_spp):
             s = s_l[k]
             s_idx = jnp.full(px_l.shape, jnp.maximum(s, 0), jnp.int32)
@@ -76,11 +137,71 @@ def render_sharded(scene, camera, sampler, li_fn: Callable, width: int,
                     "s_idx": s_idx}
             L = li_fn(scene, rays, diffs, sctx) * weight[:, None]
             mask = (py_l >= 0) & (s >= 0)
-            film = film_mod.add_samples(film, cs.image_xy, L, mask=mask)
-        pixels = jax.lax.psum(film.pixels, ("tiles", "spp"))
-        splat = jax.lax.psum(film.splat, ("tiles", "spp"))
-        import dataclasses
-        return dataclasses.replace(film, pixels=pixels, splat=splat)
+            # deposit in band-local coords (film rows [0, band_h))
+            local_xy = cs.image_xy - jnp.stack(
+                [jnp.zeros_like(y_shift), y_shift])[None, :]
+            film = film_mod.add_samples(film, local_xy, L, mask=mask)
+        # sample-chunk reduction: band-sized psum over the spp axis only
+        pixels = jax.lax.psum(film.pixels, "spp")
+        splat = jax.lax.psum(film.splat, "spp")
+        if multi_host:
+            # replicate the composed full film on every host (DCN psum):
+            # scatter each band into its full-image position, sum over tiles
+            full_px = jnp.zeros((n_tiles * hb + 2 * margin, width, 4),
+                                jnp.float32)
+            full_px = jax.lax.dynamic_update_slice(
+                full_px, pixels, (t_idx * hb, 0, 0))
+            full_sp = jnp.zeros((n_tiles * hb + 2 * margin, width, 3),
+                                jnp.float32)
+            full_sp = jax.lax.dynamic_update_slice(
+                full_sp, splat, (t_idx * hb, 0, 0))
+            return jax.lax.psum(
+                jnp.concatenate([full_px, jnp.pad(full_sp,
+                                                  ((0, 0), (0, 0), (0, 1)))],
+                                axis=-1), ("tiles", "spp"))
+        return pixels[None], splat[None]
 
-    film = jax.jit(shard_render)(scene, camera, sampler, px, py, s_all, film0)
+    out = jax.jit(shard_render)(scene, camera, sampler, px, py, s_all, film0)
+    if multi_host:
+        comp = np.asarray(out)
+        pixels = _unshift(comp[..., :4], height, width, hb, margin,
+                          pre_placed=True)
+        splat = _unshift(comp[..., 4:7], height, width, hb, margin,
+                         pre_placed=True)
+    else:
+        bands_px, bands_sp = np.asarray(out[0]), np.asarray(out[1])
+        pixels = compose_bands(bands_px, height, width, hb, margin)
+        splat = compose_bands(bands_sp, height, width, hb, margin)
+    film = film_mod.make_film(width, height, filter_name=filter_name,
+                              filter_params=filter_params)
+    film = dataclasses.replace(film, pixels=jnp.asarray(pixels),
+                               splat=jnp.asarray(splat))
     return np.asarray(film_mod.to_rgb(film))
+
+
+def compose_bands(bands: np.ndarray, height, width, hb, margin):
+    """Composite per-tile band accumulators into the full additive film
+    (OutputImage sub-rect compositing, render_manager.dart:108-133): band t
+    rows map to global rows [t*hb - margin, t*hb + hb + margin); overlap rows
+    simply add (XYZ+weight accumulators are linear)."""
+    n_tiles = bands.shape[0]
+    out = np.zeros((height, width) + bands.shape[3:], np.float32)
+    for t in range(n_tiles):
+        y0 = t * hb - margin
+        for i in range(bands.shape[1]):
+            y = y0 + i
+            if 0 <= y < height:
+                out[y] += bands[t, i]
+    return out
+
+
+def _unshift(arr, height, width, hb, margin, pre_placed=False):
+    """Trim the multi-host composed array (bands were placed at t*hb with
+    their leading margin, so global row y sits at y + 0)."""
+    # bands were placed at offset t*hb, i.e. their first (margin) rows
+    # belong to global rows t*hb - margin .. — realign by shifting up
+    out = np.zeros((height, width) + arr.shape[2:], np.float32)
+    src = np.asarray(arr)
+    for y in range(height):
+        out[y] = src[y + margin] if y + margin < src.shape[0] else 0.0
+    return out

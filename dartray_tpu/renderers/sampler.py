@@ -67,19 +67,32 @@ def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
 
 def render(scene, camera, sampler, li_fn, width, height,
            progress: Optional[Callable] = None, filter_name="box",
-           filter_params=None, stats=None):
+           filter_params=None, stats=None, checkpoint_path=None,
+           checkpoint_every=8):
     """Full render: returns (H, W, 3) linear RGB. Pass a stats.RenderStats
-    to collect per-phase timings + exact wavefront counters."""
+    to collect per-phase timings + exact wavefront counters.
+
+    checkpoint_path: when set, the film + next-sample counter are saved
+    every `checkpoint_every` waves and a pre-existing checkpoint at that
+    path resumes the render mid-stream. Samples are keyed by (pixel,
+    sample index, dimension), so a killed-and-resumed render is bit-exact
+    vs an uninterrupted one (failure recovery, SURVEY §5)."""
+    import os
     from ..scene import types as st
     scene = st.to_device(scene)
     film = film_mod.make_film(width, height, filter_name=filter_name,
                               filter_params=filter_params)
     px, py = pixel_grid(width, height)
     spp = sampler.spp
+    resume_s = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        film, resume_s = film_mod.load_checkpoint(checkpoint_path, film)
 
     step = jax.jit(partial(render_wave, li_fn=li_fn, width=width,
                            height=height, spp=spp),
                    static_argnames=())
+    if resume_s > 0:
+        stats = None   # resumed renders skip the first-wave compile split
     if stats is not None:
         with stats.time("time/compile+first_wave"):
             film = step(scene, camera, sampler, film=film, px=px, py=py,
@@ -91,7 +104,7 @@ def render(scene, camera, sampler, li_fn, width, height,
         if progress is not None:
             progress(1, spp, film)
     else:
-        start = 0
+        start = resume_s
     ctx = stats.time("time/render") if stats is not None else None
     if ctx is not None:
         ctx.__enter__()
@@ -104,6 +117,10 @@ def render(scene, camera, sampler, li_fn, width, height,
             stats.add("rays/camera", px.shape[0])
         if progress is not None:
             progress(s + 1, spp, film)
+        if checkpoint_path is not None and (s + 1) % checkpoint_every == 0 \
+                and s + 1 < spp:
+            jax.block_until_ready(film.pixels)
+            film_mod.save_checkpoint(checkpoint_path, film, s + 1)
     out = np.asarray(film_mod.to_rgb(film))
     if ctx is not None:
         ctx.__exit__(None, None, None)

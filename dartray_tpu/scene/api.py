@@ -614,7 +614,7 @@ class PbrtAPI:
         if self.gs.reverse_orientation:
             m = mesh_mod.TriangleMesh(m.verts, m.faces[:, [0, 2, 1]].copy(),
                                       None if m.normals is None else -m.normals,
-                                      m.uvs)
+                                      m.uvs, m.alpha_tid)
         m = m.transformed(o2w)
         if self.current_object is not None:
             self.objects[self.current_object].append(
@@ -702,7 +702,17 @@ class PbrtAPI:
             uv = p.find_uvs("uv")
             if uv is None:
                 uv = p.find_uvs("st")
-            return mesh_mod.make_mesh(pts, idx.reshape(-1, 3), normals, uv)
+            m = mesh_mod.make_mesh(pts, idx.reshape(-1, 3), normals, uv)
+            # alpha-mask cutouts (triangle.dart:140-151): a float texture
+            # evaluated at the hit uv; zero alpha rejects the intersection
+            aname = p.find_texture("alpha")
+            if aname is not None:
+                tid = self.tex_ids.get(aname)
+                if tid is None:
+                    self.log(f"warning: alpha texture {aname!r} unknown")
+                else:
+                    m.alpha_tid = tid
+            return m
         if name == "heightfield":
             nu = p.find_one_int("nu", 2)
             nv = p.find_one_int("nv", 2)

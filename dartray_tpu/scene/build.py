@@ -58,7 +58,8 @@ class SceneBuilder:
                 light_ids.append(-1)
             face_off += m.n_faces
         geom = st.compile_geometry(self.meshes, self.mesh_mat, light_ids,
-                                   split_method=split_method)
+                                   split_method=split_method,
+                                   textures=self.textures)
         wb = np.asarray(geom.world_bound)
         radius = float(np.linalg.norm(wb[1] - wb[0]) * 0.5) or 10.0
         lt = lt_mod.build_table(specs, scene_radius=radius)

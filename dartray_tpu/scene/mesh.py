@@ -31,6 +31,8 @@ class TriangleMesh:
     faces: np.ndarray
     normals: Optional[np.ndarray] = None
     uvs: Optional[np.ndarray] = None
+    # alpha-mask float-texture id (triangle_mesh.dart 'alpha'); -1 = opaque
+    alpha_tid: int = -1
 
     @property
     def n_faces(self):
@@ -62,7 +64,7 @@ class TriangleMesh:
         if np.linalg.det(m4[:3, :3]) < 0:
             faces = faces[:, [0, 2, 1]]
         return TriangleMesh(v.astype(np.float32), faces.astype(np.int32),
-                            n, self.uvs)
+                            n, self.uvs, self.alpha_tid)
 
 
 def make_mesh(verts, faces, normals=None, uvs=None) -> TriangleMesh:

@@ -25,8 +25,9 @@ from . import mesh as mesh_mod
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["cl", "packed", "perm", "v0", "e1", "e2", "vn", "uv",
-                      "mat_id", "light_id", "world_bound"],
-         meta_fields=["n_prims", "n_nodes"])
+                      "mat_id", "light_id", "world_bound", "alpha_tid",
+                      "alpha_tex"],
+         meta_fields=["n_prims", "n_nodes", "has_alpha"])
 @dataclasses.dataclass
 class Geometry:
     """Triangle soup + threaded BVH + per-face attribute tables.
@@ -51,8 +52,11 @@ class Geometry:
     mat_id: jnp.ndarray
     light_id: jnp.ndarray
     world_bound: jnp.ndarray   # (2, 3)
-    n_prims: int
-    n_nodes: int
+    alpha_tid: Any = None      # (F,) int32 alpha-mask texture id (-1 none)
+    alpha_tex: Any = None      # textures.TextureData when has_alpha
+    n_prims: int = 0
+    n_nodes: int = 0
+    has_alpha: bool = False    # static: gates the cutout continuation loop
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -68,17 +72,22 @@ class CompiledScene:
 
 
 def compile_geometry(meshes, mat_ids=None, light_ids=None,
-                     split_method="sah") -> Geometry:
+                     split_method="sah", textures=None) -> Geometry:
     """meshes: list of TriangleMesh (world space). mat_ids/light_ids:
-    per-mesh ints."""
+    per-mesh ints. textures: the scene TextureData (required only when a
+    mesh carries an alpha-mask texture; referenced by the geometry so the
+    traversal can evaluate cutouts without extra plumbing)."""
     if not meshes:
         raise ValueError("empty scene")
     n_meshes = len(meshes)
     mat_ids = mat_ids if mat_ids is not None else [0] * n_meshes
     light_ids = light_ids if light_ids is not None else [-1] * n_meshes
 
+    alpha_ids = []
     v0s, e1s, e2s, vns, uvs, mids, lids = [], [], [], [], [], [], []
     for m, mid, lid in zip(meshes, mat_ids, light_ids):
+        alpha_ids.append(np.full(m.faces.shape[0],
+                                 getattr(m, "alpha_tid", -1), np.int32))
         v0, e1, e2 = bvh_mod.triangles_to_mt(m.verts, m.faces)
         f = m.faces
         if m.normals is not None:
@@ -113,6 +122,8 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     packed, perm = tp.pack(cb.node_lo, cb.node_hi, cb.node_child,
                            cb.node_axis, cb.tri_v0, cb.tri_e1, cb.tri_e2,
                            cb.tri_id)
+    alpha_tid = np.concatenate(alpha_ids)
+    has_alpha = bool((alpha_tid >= 0).any()) and textures is not None
     return Geometry(
         cl=cb, packed=packed, perm=perm,
         v0=v0, e1=e1, e2=e2,
@@ -121,7 +132,9 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         mat_id=np.concatenate(mids),
         light_id=np.concatenate(lids),
         world_bound=wb.astype(np.float32),
-        n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes)
+        alpha_tid=alpha_tid if has_alpha else None,
+        alpha_tex=textures if has_alpha else None,
+        n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes, has_alpha=has_alpha)
 
 
 def to_device(tree):
@@ -144,12 +157,7 @@ def _detach(x):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, x)
 
 
-def intersect(geom: "Geometry", rays, sort: bool = True):
-    """Closest-hit over the scene accelerator (Scene.intersect,
-    lib/core/scene.dart:51). On TPU this runs the Pallas megakernel over a
-    coherence-sorted wavefront; elsewhere the XLA packet traversal."""
-    geom = _detach(geom)
-    rays = _detach(rays)
+def _raw_intersect(geom: "Geometry", rays, sort: bool):
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
         t, prim, b1, b2 = tp.intersect_rays(
@@ -160,17 +168,74 @@ def intersect(geom: "Geometry", rays, sort: bool = True):
     return cluster_mod.intersect(geom.cl, rays)
 
 
+ALPHA_ROUNDS = 4   # max cut-out layers pierced per query (static)
+
+
+def _alpha_cut(geom: "Geometry", hits):
+    """True where the hit lands on a zero-alpha texel of an alpha-masked
+    face (triangle.dart:140-151 alphaMask rejection)."""
+    from .. import textures as tex_mod
+    prim = jnp.maximum(hits.prim, 0)
+    tid = geom.alpha_tid[prim]
+    uvc = geom.uv[prim]
+    b0 = 1.0 - hits.b1 - hits.b2
+    uv = (uvc[:, 0] * b0[:, None] + uvc[:, 1] * hits.b1[:, None]
+          + uvc[:, 2] * hits.b2[:, None])
+    it = {"uv": uv, "p": jnp.zeros(uv.shape[:1] + (3,), jnp.float32)}
+    a = tex_mod.eval_or(geom.alpha_tex, tid, it,
+                        jnp.ones(uv.shape[:1] + (3,), jnp.float32))
+    return (hits.prim >= 0) & (tid >= 0) & (a[:, 0] < 1e-3)
+
+
+def intersect(geom: "Geometry", rays, sort: bool = True):
+    """Closest-hit over the scene accelerator (Scene.intersect,
+    lib/core/scene.dart:51). On TPU this runs the Pallas megakernel over a
+    coherence-sorted wavefront; elsewhere the XLA packet traversal.
+
+    Alpha-masked scenes run a static continuation loop: cut-out hits
+    re-trace from just past the hit with every other lane dead (the sorted
+    kernel short-circuits dead lanes, so continuation waves cost ~the cut
+    fraction)."""
+    geom = _detach(geom)
+    rays = _detach(rays)
+    h = _raw_intersect(geom, rays, sort)
+    if not geom.has_alpha:
+        return h
+    from ..accel.traverse import Hits
+    cand = jnp.ones(h.t.shape, bool)
+    for _ in range(ALPHA_ROUNDS - 1):
+        cut = cand & _alpha_cut(geom, h)
+        eps = ray_epsilon(h.t)
+        cont = rays._replace(
+            tmin=jnp.where(cut, h.t + eps, rays.tmin),
+            tmax=jnp.where(cut, rays.tmax, -1.0))
+        h2 = _raw_intersect(geom, cont, sort)
+        h = Hits(t=jnp.where(cut, h2.t, h.t),
+                 prim=jnp.where(cut, h2.prim, h.prim),
+                 b1=jnp.where(cut, h2.b1, h.b1),
+                 b2=jnp.where(cut, h2.b2, h.b2))
+        cand = cut
+    return h
+
+
 def intersect_p(geom: "Geometry", rays, sort: bool = True):
     """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
     geom = _detach(geom)
     rays = _detach(rays)
-    if _use_pallas(geom):
-        from ..ops import traverse_pallas as tp
-        t, prim, _, _ = tp.intersect_rays(
-            geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
-            rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True, sort=sort)
-        return prim >= 0
-    return cluster_mod.intersect_p(geom.cl, rays)
+    if not geom.has_alpha:
+        if _use_pallas(geom):
+            from ..ops import traverse_pallas as tp
+            t, prim, _, _ = tp.intersect_rays(
+                geom.packed, geom.perm, geom.world_bound[0],
+                geom.world_bound[1],
+                rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True,
+                sort=sort)
+            return prim >= 0
+        return cluster_mod.intersect_p(geom.cl, rays)
+    # alpha scenes: occlusion needs closest-hit + cutout continuation
+    # (an any-hit blocker might be a zero-alpha texel)
+    h = intersect(geom, rays, sort=sort)
+    return h.prim >= 0
 
 
 class SurfaceInteraction:

@@ -46,3 +46,70 @@ def test_mesh_uses_all_devices():
     assert len(jax.devices()) == 8
     m = pmesh.make_device_mesh(4, 2)
     assert m.shape == {"tiles": 4, "spp": 2}
+
+
+def test_sharded_band_compose_bitexact_box():
+    """Tile-local band films (box filter -> disjoint bands, no margin):
+    the composed sharded image must be BIT-exact vs single-device (every
+    sample keyed by (pixel, s_idx, dim), deposits to disjoint pixels)."""
+    scene = _scene()
+    W = H = 16
+    c2w = tr.look_at([0, 0.5, -4], [0, 0, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 35.0, W, H)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=2)
+    ig = pi.PathIntegrator(max_depth=2)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+    ref = rend.render(scene, cam, smp, li, W, H)
+    m = pmesh.make_device_mesh(4, 1)   # tiles only: no spp reduction order
+    img = pmesh.render_sharded(scene, cam, smp, li, W, H, m)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_sharded_gaussian_margin_compose():
+    """Wide (gaussian) filter: footprints spill across band edges into the
+    margin rows; overlap composition must reproduce the unsharded film."""
+    scene = _scene()
+    W = H = 16
+    c2w = tr.look_at([0, 0.5, -4], [0, 0, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 35.0, W, H)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=2)
+    ig = pi.PathIntegrator(max_depth=2)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+    ref = rend.render(scene, cam, smp, li, W, H, filter_name="gaussian")
+    m = pmesh.make_device_mesh(4, 2)
+    img = pmesh.render_sharded(scene, cam, smp, li, W, H, m,
+                               filter_name="gaussian")
+    np.testing.assert_allclose(img, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_checkpoint_kill_and_resume(tmp_path):
+    """Failure recovery: render killed after 2/4 waves resumes from the
+    checkpoint and produces the EXACT uninterrupted image."""
+    from dartray_tpu import film as film_mod  # noqa: F401
+    scene = _scene()
+    W = H = 12
+    c2w = tr.look_at([0, 0.5, -4], [0, 0, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 35.0, W, H)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=4)
+    ig = pi.PathIntegrator(max_depth=2)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+    ref = rend.render(scene, cam, smp, li, W, H)
+    ck = str(tmp_path / "film.ckpt.npz")
+
+    class Die(Exception):
+        pass
+
+    def killer(s, spp, film):
+        # s is the 1-based completed-wave count; the wave-2 checkpoint is
+        # written after progress(2), so kill on wave 3
+        if s > 2:
+            raise Die()
+
+    with pytest.raises(Die):
+        rend.render(scene, cam, smp, li, W, H, checkpoint_path=ck,
+                    checkpoint_every=2, progress=killer)
+    import os
+    assert os.path.exists(ck)
+    img = rend.render(scene, cam, smp, li, W, H, checkpoint_path=ck,
+                      checkpoint_every=2)
+    np.testing.assert_array_equal(img, ref)

@@ -142,6 +142,45 @@ WorldEnd
     assert band.std() >= 0.0
 
 
+def test_alpha_mask_cutout_shows_holes():
+    """triangle.dart:140-151: a checkerboard alpha mask on a front quad must
+    let rays pass through zero-alpha cells to the wall behind."""
+    scene = """
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "lowdiscrepancy" "integer pixelsamples" [1]
+SurfaceIntegrator "directlighting"
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+LightSource "distant" "color L" [3 3 3] "point from" [0 0 -5] "point to" [0 0 0]
+Texture "cut" "float" "checkerboard"
+  "float uscale" [4] "float vscale" [4]
+  "float tex1" [1] "float tex2" [0]
+AttributeBegin
+  Material "matte" "color Kd" [1 0 0]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-1 -1 0  1 -1 0  1 1 0  -1 1 0]
+    "float uv" [0 0  1 0  1 1  0 1]
+    "texture alpha" "cut"
+AttributeEnd
+AttributeBegin
+  Material "matte" "color Kd" [0 0 1]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-4 -4 2  4 -4 2  4 4 2  -4 4 2]
+AttributeEnd
+WorldEnd
+"""
+    img = manager.render_pbrt(scene)
+    assert np.isfinite(img).all()
+    # central region covers the quad: both the red (opaque) quad and the
+    # blue wall (through the holes) must be visible
+    c = img[8:24, 8:24]
+    red = (c[..., 0] > 2 * c[..., 2] + 1e-3)
+    blue = (c[..., 2] > 2 * c[..., 0] + 1e-3)
+    assert red.mean() > 0.2, red.mean()
+    assert blue.mean() > 0.2, blue.mean()
+
+
 def test_bump_mapping_perturbs_normals():
     """bump-sphere fixture analog: a bumpy imagemap displacement must change
     the shaded image vs no bump (material.dart:35-88)."""
