@@ -99,7 +99,7 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
 
 
 def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
-                  mask, flags=bx.ALL & ~bx.SPECULAR):
+                  mask, flags=bx.ALL & ~bx.SPECULAR, order=None):
     """Next-event estimation toward one uniformly chosen light — the
     light-sampling HALF of EstimateDirect (integrator.dart:119-152). The
     BSDF-sampling half is folded into the path-extension ray instead (the
@@ -127,7 +127,7 @@ def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
         & jnp.any(f_l != 0.0, axis=-1)
     sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps)
     sray = sray._replace(tmax=jnp.where(usable, sray.tmax, -1.0))
-    occluded = st.intersect_p(geom, sray)
+    occluded = st.intersect_p(geom, sray, order=order)
     pdf_nee = ls.pdf / float(n_lights)
     bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
     w_l = jnp.where(ls.is_delta, 1.0,

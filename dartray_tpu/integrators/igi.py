@@ -64,7 +64,8 @@ def preprocess(ig: IGIIntegrator, scene: st.CompiledScene,
     key = jnp.arange(total, dtype=U32) + U32(seed * 7919 + 1)
 
     def u1(d):
-        return smp.rng_uniform(smp.hash_u32(key ^ U32(d * 2654435761 + 1)),
+        h = (d * 2654435761 + 1) & 0xFFFFFFFF
+        return smp.rng_uniform(smp.hash_u32(key ^ U32(h)),
                                jnp.zeros_like(key))
 
     def u2(d):

@@ -64,12 +64,18 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     prev_pdf = jnp.zeros((r,), jnp.float32)
     cur = rays
 
+    order = None
     for bounce in range(ig.max_depth + 1):
         dim = 5 + bounce * 10
-        hits = st.intersect(geom, cur, sort=bounce > 0)
+        # bounce 0: camera rays already Morton-coherent (no sort); later
+        # bounces reuse the order computed from the PREVIOUS hit points
+        # (the extension rays' origins) — one argsort per bounce, shared
+        # with the shadow wave below
+        hits = st.intersect(geom, cur, sort=False, order=order)
         hit = hits.hit & active
         it = st.interaction(geom, cur, hits,
                             diffs=diffs if bounce == 0 else None)
+        order = st.shared_order(geom, it["p"], ~hit)
         it["ns"] = mat_mod.bump_shading_normal(scene.materials, it["mat_id"],
                                                scene.textures, it)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
@@ -96,7 +102,7 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
                                               sctx["py"], sctx["s_idx"], d)
             ld = common.nee_one_light(scene, it, frame, params, wo,
                                       sd(dim), sd2(dim + 1), sd(dim + 3),
-                                      mask=hit)
+                                      mask=hit, order=order)
             L = L + jnp.where(hit[:, None], throughput * ld, 0.0)
         if bounce == ig.max_depth:
             break

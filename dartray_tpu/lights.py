@@ -237,10 +237,27 @@ class LiSample(NamedTuple):
 
 
 def _env_lookup(lt: LightTable, uv):
-    """Bilinear-ish (nearest for now) texel fetch of the radiance map."""
-    x = jnp.clip((uv[..., 0] * lt.env_w).astype(jnp.int32), 0, lt.env_w - 1)
-    y = jnp.clip((uv[..., 1] * lt.env_h).astype(jnp.int32), 0, lt.env_h - 1)
-    return lt.env_map[y, x]
+    """Bilinear texel fetch of the lat-long radiance map (MIPMap.lookup on
+    the envmap, infinite_area_light.dart Le/sampleL): phi wraps, theta
+    clamps."""
+    xx = uv[..., 0] * lt.env_w - 0.5
+    yy = uv[..., 1] * lt.env_h - 0.5
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    fx = (xx - x0)[..., None]
+    fy = (yy - y0)[..., None]
+
+    def at(x, y):
+        x = x % lt.env_w                              # phi wraps
+        y = jnp.clip(y, 0, lt.env_h - 1)              # theta clamps
+        return lt.env_map[y, x]
+
+    c00 = at(x0, y0)
+    c10 = at(x0 + 1, y0)
+    c01 = at(x0, y0 + 1)
+    c11 = at(x0 + 1, y0 + 1)
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
 def _env_sample(lt: LightTable, u):

@@ -1302,6 +1302,289 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Kernel v6: per-row wide traversal — 8 independent 128-ray packets, each
+# popping one WIDE (8-ary) node per step. Combines v4's divergence handling
+# (a bounce packet only leaf-tests ITS OWN clusters -> 8x less wasted dense
+# MT work than a shared-stack block) with v5's wide nodes (8 children
+# slab-tested per pop). Per step: 8 pops, 8 (1,48) bounds rows, ONE
+# (8 slots, 8 rows, 128) slab evaluation, and per-(slot,row) hit bits packed
+# into three f32 full-reductions (21 bits each) so the 64-entry push loop
+# runs on scalar ALU without spill round-trips.
+# ---------------------------------------------------------------------------
+
+LBUF6 = 16
+_V6_SPILL_DEBUG = False    # read the (slot,row) hit matrix via a VMEM spill
+                           # instead of the packed-bits reduce (debug aid)
+
+
+def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
+             v0x_ref, v0y_ref, v0z_ref,
+             e1x_ref, e1y_ref, e1z_ref,
+             e2x_ref, e2y_ref, e2z_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tmin_ref, tmax_ref,
+             t_out, prim_out,
+             stack_ref, sp_ref, lbuf_ref, lcnt_ref, spill_ref,
+             *, k: int, rows: int, any_hit: bool, n_wnodes: int,
+             null_node: int, null_cluster: int):
+    P = rows
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+
+    # per-row majority octant -> worder row-group offsets (spill trick)
+    half = jnp.float32(64.0)
+    negf = jnp.concatenate(
+        [jnp.sum(jnp.where(dx < 0, 1.0, 0.0), axis=1, keepdims=True),
+         jnp.sum(jnp.where(dy < 0, 1.0, 0.0), axis=1, keepdims=True),
+         jnp.sum(jnp.where(dz < 0, 1.0, 0.0), axis=1, keepdims=True)],
+        axis=1)                                     # (P, 3)
+    spill_ref[:, 0:3] = negf
+    qw_r = []
+    for r in range(P):
+        q = (jnp.where(spill_ref[r, 0] > half, 1, 0)
+             + jnp.where(spill_ref[r, 1] > half, 2, 0)
+             + jnp.where(spill_ref[r, 2] > half, 4, 0))
+        qw_r.append(q * n_wnodes)
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((P, 128), -1, jnp.int32)
+    for r in range(P):
+        stack_ref[0, r] = jnp.int32(0)
+        sp_ref[r] = jnp.int32(1)
+        lcnt_ref[r] = jnp.int32(0)
+
+    o3 = (ox.reshape(1, P, 128), oy.reshape(1, P, 128),
+          oz.reshape(1, P, 128))
+    d3 = (dx.reshape(1, P, 128), dy.reshape(1, P, 128),
+          dz.reshape(1, P, 128))
+    ix3 = ix.reshape(1, P, 128)
+    iy3 = iy.reshape(1, P, 128)
+    iz3 = iz.reshape(1, P, 128)
+    tmin3 = tmin.reshape(1, P, 128)
+    alive3 = alive.reshape(1, P, 128)
+    # hit-bit packing weights: 3 groups of (rows-in-group x 8 slots) bits,
+    # exact power-of-two constants passed as inputs (a runtime exp2() is
+    # NOT guaranteed exact for integer arguments and corrupts the pack)
+    GROUPS = ((0, 1, 2), (3, 4, 5), (6, 7))
+    w_groups = [w0_ref[:], w1_ref[:], w2_ref[:]]
+
+    def node_steps(t_best, prim):
+        def cond(st):
+            t_best, full, live = st
+            return live & ~full
+
+        def body(st):
+            t_best, full, _ = st
+            node_r = []
+            for r in range(P):
+                sp = sp_ref[r]
+                n_ = stack_ref[jnp.maximum(sp - 1, 0), r]
+                node_r.append(jnp.where(sp > 0, n_, jnp.int32(null_node)))
+                sp_ref[r] = jnp.maximum(sp - 1, 0)
+            brows = [wb_ref[pl.ds(node_r[r], 1), :] for r in range(P)]
+            B = jnp.concatenate(brows, axis=0)            # (P, 48)
+
+            def comp(c):
+                seg = B[:, 8 * c:8 * (c + 1)]             # (P, 8)
+                return jnp.transpose(seg, (1, 0)).reshape(8, P, 1)
+
+            lox, loy, loz = comp(0), comp(1), comp(2)
+            hix, hiy, hiz = comp(3), comp(4), comp(5)
+            t0x = (lox - o3[0]) * ix3
+            t1x = (hix - o3[0]) * ix3
+            t0y = (loy - o3[1]) * iy3
+            t1y = (hiy - o3[1]) * iy3
+            t0z = (loz - o3[2]) * iz3
+            t1z = (hiz - o3[2]) * iz3
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmin3))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z),
+                                         t_best.reshape(1, P, 128)))
+            if any_hit:
+                slab = (tn <= tf) & alive3 \
+                    & (prim < 0).reshape(1, P, 128)
+            else:
+                slab = (tn <= tf) & alive3
+            # (slot, row) hit matrix -> 3 packed f32 scalars (<= 24 bits)
+            hit_sr = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=2) > 0.5
+            if _V6_SPILL_DEBUG:
+                spill_ref[:, 0:8] = jnp.transpose(
+                    jnp.where(hit_sr, 1.0, 0.0), (1, 0))    # (P rows, 8)
+            bits = []
+            for wg in w_groups:
+                bits.append(jnp.sum(jnp.where(hit_sr, wg, 0.0))
+                            .astype(jnp.int32))
+            full = jnp.bool_(False)
+            for gi, g in enumerate(GROUPS):
+                for r in g:
+                    sp = sp_ref[r]
+                    cnt = lcnt_ref[r]
+                    for s in range(8):
+                        e = wo_ref[qw_r[r] + node_r[r], s]
+                        slot = e & 7
+                        ref = jax.lax.shift_right_arithmetic(e, 3)
+                        if _V6_SPILL_DEBUG:
+                            hit_s = spill_ref[r, slot] > 0.5
+                        else:
+                            hit_s = ((bits[gi] >> (slot + 8 * (r - g[0])))
+                                     & 1) > 0
+                        push = hit_s & (ref >= 0)
+                        take = hit_s & (ref < 0)
+
+                        @pl.when(push)
+                        def _():
+                            stack_ref[sp, r] = ref
+
+                        @pl.when(take)
+                        def _():
+                            lbuf_ref[r, cnt] = -ref - 1
+
+                        sp = sp + jnp.where(push, 1, 0)
+                        cnt = cnt + jnp.where(take, 1, 0)
+                    sp_ref[r] = sp
+                    lcnt_ref[r] = cnt
+                    full = full | (cnt + 8 > LBUF6)
+            live = jnp.bool_(False)
+            for r in range(P):
+                live = live | (sp_ref[r] > 0)
+            if any_hit:
+                done_all = jnp.all((prim >= 0) | ~alive)
+                live = live & ~done_all
+            return t_best, full, live
+
+        live0 = jnp.bool_(True)
+        t_best, _, live = jax.lax.while_loop(
+            cond, body, (t_best, jnp.bool_(False), live0))
+        return t_best, live
+
+    def flush(t_best, prim):
+        cnts = [lcnt_ref[r] for r in range(P)]
+        max_cnt = functools.reduce(jnp.maximum, cnts)
+
+        def round_fn(i, carry):
+            t_best, prim = carry
+            cids = [jnp.where(i < lcnt_ref[r], lbuf_ref[r, i],
+                              jnp.int32(null_cluster)) for r in range(P)]
+
+            def cols(ref):
+                rows_ = [ref[pl.ds(cids[r], 1), :] for r in range(P)]
+                m = jnp.concatenate(rows_, axis=0)          # (P, K)
+                return jnp.transpose(m, (1, 0)).reshape(k, P, 1)
+
+            v0 = (cols(v0x_ref), cols(v0y_ref), cols(v0z_ref))
+            e1 = (cols(e1x_ref), cols(e1y_ref), cols(e1z_ref))
+            e2 = (cols(e2x_ref), cols(e2y_ref), cols(e2z_ref))
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            live = alive if not any_hit else (alive & (prim < 0))
+            tm = jnp.where(live.reshape(1, P, 128), tm,
+                           jnp.float32(jnp.inf))
+            base = jnp.zeros((P, 128), jnp.int32)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+            for r in range(P):
+                base = jnp.where(rsel == r, cids[r] * k, base)
+            return _fold_packed(tm, t_best, prim, base, k)
+
+        t_best, prim = jax.lax.fori_loop(0, max_cnt, round_fn,
+                                         (t_best, prim))
+        for r in range(P):
+            lcnt_ref[r] = jnp.int32(0)
+        return t_best, prim
+
+    def outer_cond(st):
+        t_best, prim, live = st
+        return live
+
+    def outer_body(st):
+        t_best, prim, _ = st
+        t_best, live = node_steps(t_best, prim)
+        t_best, prim = flush(t_best, prim)
+        # buffered leaves may remain when the loop paused on a full buffer
+        any_pend = jnp.bool_(False)
+        for r in range(P):
+            any_pend = any_pend | (sp_ref[r] > 0)
+        return t_best, prim, live | any_pend
+
+    t_best, prim, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (t0, prim0, jnp.bool_(True)))
+    t_out[:] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[:] = prim
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret"))
+def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+              block_rows: int = 8, interpret: bool = False):
+    """v6: per-row packets over the wide BVH (block_rows must be 8 — the
+    hit-bit packing groups cover exactly 8 rows)."""
+    assert block_rows == 8, "v6 supports block_rows=8 only"
+    planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
+    # sentinel rows: null wide node (NaN boxes, pad order entries)
+    null_node = bvh.n_wnodes
+    null_cluster = bvh.n_clusters
+    wbounds = jnp.concatenate(
+        [jnp.asarray(bvh.wbounds),
+         jnp.full((1, 48), jnp.nan, jnp.float32)])
+    # per-octant order rows for the null node: regroup (8, W, 8) with one
+    # extra node per octant
+    wo = jnp.asarray(bvh.worder).reshape(8, bvh.n_wnodes, 8)
+    pad_row = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 8), 2)  # slots
+    wo = jnp.concatenate([wo, pad_row], axis=1).reshape(
+        8 * (bvh.n_wnodes + 1), 8)
+
+    def with_null(arr3):
+        z = jnp.zeros((1, bvh.k), arr3.dtype)
+        return [jnp.concatenate([jnp.asarray(arr3[c]), z]) for c in range(3)]
+
+    tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
+                + with_null(bvh.te2))
+    # exact bit-pack weight constants (see _kernel6)
+    w_args = []
+    for g in ((0, 1, 2), (3, 4, 5), (6, 7)):
+        wg = np.zeros((8, block_rows), np.float64)
+        for row_ in g:
+            for s_ in range(8):
+                wg[s_, row_] = 2.0 ** (s_ + 8 * (row_ - g[0]))
+        w_args.append(jnp.asarray(wg.astype(np.float32)))
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kern = partial(_kernel6, k=bvh.k, rows=block_rows, any_hit=any_hit,
+                   n_wnodes=bvh.n_wnodes + 1, null_node=null_node,
+                   null_cluster=null_cluster)
+    t, prim = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        out_shape=(jax.ShapeDtypeStruct(shape2, jnp.float32),
+                   jax.ShapeDtypeStruct(shape2, jnp.int32)),
+        in_specs=([full(wbounds), full(wo)]
+                  + [full(w) for w in w_args]
+                  + [full(a) for a in tri_args]
+                  + [ray_spec] * 8),
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH, block_rows), jnp.int32),
+                        pltpu.SMEM((block_rows,), jnp.int32),
+                        pltpu.SMEM((block_rows, LBUF6), jnp.int32),
+                        pltpu.SMEM((block_rows,), jnp.int32),
+                        pltpu.VMEM((block_rows, 8), jnp.float32)],
+        interpret=interpret,
+    )(wbounds, wo, *w_args, *tri_args, *planes)
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
+# ---------------------------------------------------------------------------
 # Wavefront glue: ray sorting + exact hit finishing (host-of-kernel XLA ops).
 # ---------------------------------------------------------------------------
 
@@ -1329,6 +1612,28 @@ def sort_order(o, d, tmin, tmax, lo, hi):
     dead = (tmax < tmin).astype(jnp.int32)
     key = (dead.astype(jnp.int64) << 34) | (octant.astype(jnp.int64) << 30) \
         | m.astype(jnp.int64)
+    return jnp.argsort(key)
+
+
+def sort_order_origin(p, dead, lo, hi):
+    """Origin-only coherence permutation (int32 key: dead | 21-bit Morton).
+
+    Used once per bounce and SHARED by that bounce's shadow wave and the
+    next bounce's extension wave (both originate at the same hit points) —
+    one argsort instead of two per bounce, and an int32 sort instead of the
+    int64 one (each measured ~24 ms per 262k wave on the v5e)."""
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9) * 127.0,
+                 0.0, 127.0).astype(jnp.int32)
+
+    def spread7(x):
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    m = (spread7(q[:, 0]) | (spread7(q[:, 1]) << 1)
+         | (spread7(q[:, 2]) << 2))
+    key = (dead.astype(jnp.int32) << 21) | m
     return jnp.argsort(key)
 
 
@@ -1364,18 +1669,20 @@ DEFAULT_KERNEL = dict(closest="v4", any="v3", block_rows=8)
 
 def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                    any_hit: bool = False, sort: bool = True,
-                   kernel: str | None = None):
+                   kernel: str | None = None, order=None):
     """Full traversal pipeline: sort -> Pallas kernel -> unsort -> finish.
 
     Returns (t, prim, b1, b2) in the ORIGINAL ray order; prim indexes the
     original triangle soup (-1 miss). For any_hit, b1/b2 are zeros and t is
-    the (approximate) blocker distance."""
+    the (approximate) blocker distance. Pass a precomputed `order`
+    permutation to skip the in-call argsort (per-bounce sort sharing)."""
     which = kernel or DEFAULT_KERNEL["any" if any_hit else "closest"]
     fn = {"v1": traverse, "v2": traverse2, "v3": traverse3,
           "v4": traverse4, "v5": traverse5}[which]
     br = DEFAULT_KERNEL["block_rows"]
-    if sort:
-        order = sort_order(o, d, tmin, tmax, lo, hi)
+    if sort or order is not None:
+        if order is None:
+            order = sort_order(o, d, tmin, tmax, lo, hi)
         t_s, prim_s = fn(bvh, o[order], d[order], tmin[order], tmax[order],
                          any_hit=any_hit, block_rows=br)
         n = o.shape[0]

@@ -255,6 +255,23 @@ class PbrtAPI:
         v = params.find_one_spectrum(pname, default)
         return self.tex_builder.add(tex_mod.CONST, tuple(v))
 
+    def _mapping2d(self, p, w2t):
+        """2D mapping selection (uv_mapping2d.dart etc.): returns
+        (mode, world2tex) — planar packs v1/v2 into the matrix rows."""
+        from .. import textures as tex_mod
+        name = p.find_one_string("mapping", "uv")
+        mode = {"uv": tex_mod.MAP_UV, "spherical": tex_mod.MAP_SPHERICAL,
+                "cylindrical": tex_mod.MAP_CYLINDRICAL,
+                "planar": tex_mod.MAP_PLANAR}.get(name)
+        if mode is None:
+            self.log(f"warning: unknown texture mapping {name!r}; uv")
+            mode = tex_mod.MAP_UV
+        if mode == tex_mod.MAP_PLANAR:
+            w2t = np.eye(4, dtype=np.float32)
+            w2t[0, :3] = p.find_one_point("v1", (1, 0, 0))
+            w2t[1, :3] = p.find_one_point("v2", (0, 1, 0))
+        return mode, w2t
+
     def _compile_texture(self, tex_type, p, tex_class) -> int:
         from .. import textures as tex_mod
         tb = self.tex_builder
@@ -263,6 +280,7 @@ class PbrtAPI:
         du = p.find_one_float("udelta", 0.0)
         dv = p.find_one_float("vdelta", 0.0)
         w2t = np.asarray(self.ctm[0].m_inv, np.float32)
+        map2d, map_w2t = self._mapping2d(p, w2t)
         if tex_type == "constant":
             v = (p.find_one_spectrum("value", (1, 1, 1))
                  if tex_class != "float"
@@ -283,13 +301,16 @@ class PbrtAPI:
             return tb.add(kind, params=(su, sv, du, dv),
                           sub=(self._child_tex(p, "tex1", (1, 1, 1)),
                                self._child_tex(p, "tex2", (0, 0, 0))),
-                          world2tex=w2t)
+                          world2tex=map_w2t if dim == 2 else w2t,
+                          mapping=map2d if dim == 2 else 0)
         if tex_type == "dots":
             return tb.add(tex_mod.DOTS, params=(su, sv, du, dv),
                           sub=(self._child_tex(p, "inside", (1, 1, 1)),
-                               self._child_tex(p, "outside", (0, 0, 0))))
+                               self._child_tex(p, "outside", (0, 0, 0))),
+                          world2tex=map_w2t, mapping=map2d)
         if tex_type == "uv":
-            return tb.add(tex_mod.UV, params=(su, sv, du, dv))
+            return tb.add(tex_mod.UV, params=(su, sv, du, dv),
+                          world2tex=map_w2t, mapping=map2d)
         if tex_type == "fbm":
             oct_ = p.find_one_int("octaves", 8)
             rough = p.find_one_float("roughness", 0.5)
@@ -335,7 +356,8 @@ class PbrtAPI:
             if img is None:
                 img = np.ones((2, 2, 3), np.float32) * 0.5
             return tb.add(tex_mod.IMAGEMAP, (sc, sc, sc),
-                          params=(su, sv, du, dv), image=img)
+                          params=(su, sv, du, dv), image=img,
+                          world2tex=map_w2t, mapping=map2d)
         self.log(f"warning: unknown texture type {tex_type!r}")
         return tb.add(tex_mod.CONST, (1.0, 1.0, 1.0))
 

@@ -157,12 +157,13 @@ def _detach(x):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, x)
 
 
-def _raw_intersect(geom: "Geometry", rays, sort: bool):
+def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
         t, prim, b1, b2 = tp.intersect_rays(
             geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
-            rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False, sort=sort)
+            rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False, sort=sort,
+            order=order)
         from ..accel.traverse import Hits
         return Hits(t=t, prim=prim, b1=b1, b2=b2)
     return cluster_mod.intersect(geom.cl, rays)
@@ -187,10 +188,11 @@ def _alpha_cut(geom: "Geometry", hits):
     return (hits.prim >= 0) & (tid >= 0) & (a[:, 0] < 1e-3)
 
 
-def intersect(geom: "Geometry", rays, sort: bool = True):
+def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
     """Closest-hit over the scene accelerator (Scene.intersect,
     lib/core/scene.dart:51). On TPU this runs the Pallas megakernel over a
     coherence-sorted wavefront; elsewhere the XLA packet traversal.
+    `order`: precomputed coherence permutation (per-bounce sort sharing).
 
     Alpha-masked scenes run a static continuation loop: cut-out hits
     re-trace from just past the hit with every other lane dead (the sorted
@@ -198,7 +200,8 @@ def intersect(geom: "Geometry", rays, sort: bool = True):
     fraction)."""
     geom = _detach(geom)
     rays = _detach(rays)
-    h = _raw_intersect(geom, rays, sort)
+    order = None if order is None else jax.lax.stop_gradient(order)
+    h = _raw_intersect(geom, rays, sort, order)
     if not geom.has_alpha:
         return h
     from ..accel.traverse import Hits
@@ -209,7 +212,7 @@ def intersect(geom: "Geometry", rays, sort: bool = True):
         cont = rays._replace(
             tmin=jnp.where(cut, h.t + eps, rays.tmin),
             tmax=jnp.where(cut, rays.tmax, -1.0))
-        h2 = _raw_intersect(geom, cont, sort)
+        h2 = _raw_intersect(geom, cont, sort, order)
         h = Hits(t=jnp.where(cut, h2.t, h.t),
                  prim=jnp.where(cut, h2.prim, h.prim),
                  b1=jnp.where(cut, h2.b1, h.b1),
@@ -218,10 +221,11 @@ def intersect(geom: "Geometry", rays, sort: bool = True):
     return h
 
 
-def intersect_p(geom: "Geometry", rays, sort: bool = True):
+def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
     """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
     geom = _detach(geom)
     rays = _detach(rays)
+    order = None if order is None else jax.lax.stop_gradient(order)
     if not geom.has_alpha:
         if _use_pallas(geom):
             from ..ops import traverse_pallas as tp
@@ -229,12 +233,12 @@ def intersect_p(geom: "Geometry", rays, sort: bool = True):
                 geom.packed, geom.perm, geom.world_bound[0],
                 geom.world_bound[1],
                 rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True,
-                sort=sort)
+                sort=sort, order=order)
             return prim >= 0
         return cluster_mod.intersect_p(geom.cl, rays)
     # alpha scenes: occlusion needs closest-hit + cutout continuation
     # (an any-hit blocker might be a zero-alpha texel)
-    h = intersect(geom, rays, sort=sort)
+    h = intersect(geom, rays, sort=sort, order=order)
     return h.prim >= 0
 
 
@@ -242,6 +246,19 @@ class SurfaceInteraction:
     """Namespace for deriving shading data from Hits (the TPU analog of
     DifferentialGeometry / Intersection, lib/core/differential_geometry.dart,
     intersection.dart:27-72) — all plain functions over SoA arrays."""
+
+
+def shared_order(geom: Geometry, p, dead):
+    """Per-bounce coherence permutation from hit positions, shared by the
+    bounce's shadow wave and the next extension wave (one argsort per
+    bounce instead of one per traversal). None off-TPU (XLA packet
+    traversal doesn't sort)."""
+    if not _use_pallas(geom):
+        return None
+    from ..ops import traverse_pallas as tp
+    return tp.sort_order_origin(
+        jax.lax.stop_gradient(p), dead.astype(jnp.int32),
+        geom.world_bound[0], geom.world_bound[1])
 
 
 def interaction(geom: Geometry, rays, hits, diffs=None):

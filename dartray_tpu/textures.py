@@ -35,6 +35,14 @@ BILERP = 12
 
 _LEAF_KINDS = (CONST, IMAGEMAP, UV, FBM, WRINKLED, MARBLE, WINDY)
 
+# 2D texture mappings (lib/core/texture/*.dart: UVMapping2D,
+# SphericalMapping2D, CylindricalMapping2D, PlanarMapping2D), stored in
+# params[..., 7]
+MAP_UV = 0
+MAP_SPHERICAL = 1
+MAP_CYLINDRICAL = 2
+MAP_PLANAR = 3         # vs = world2tex row 0, vt = row 1; offsets du/dv
+
 
 MAX_MIP = 16
 
@@ -42,13 +50,13 @@ MAX_MIP = 16
 @partial(jax.tree_util.register_dataclass,
          data_fields=["kind", "value", "params", "sub", "img_meta",
                       "mip_off", "texels", "world2tex"],
-         meta_fields=["n", "kinds_present"])
+         meta_fields=["n", "kinds_present", "has_mapping"])
 @dataclasses.dataclass
 class TextureData:
     kind: jnp.ndarray     # (T,) int32
     value: jnp.ndarray    # (T, 3) const value / v00 for bilerp
-    params: jnp.ndarray   # (T, 8): [su, sv, du, dv, octaves, omega/rough,
-                          #          scale/variation, extra]
+    params: jnp.ndarray   # (T, 10): [su, sv, du, dv, octaves, omega/rough,
+                          #           scale/variation, extra, map2d, spare]
     sub: jnp.ndarray      # (T, 2) int32 child texture ids (-1)
     img_meta: jnp.ndarray  # (T, 4) int32 [offset, width, height, n_levels]
     mip_off: jnp.ndarray  # (T, MAX_MIP) int32 per-level pool offsets
@@ -57,6 +65,7 @@ class TextureData:
     n: int
     kinds_present: tuple  # static: sorted tuple of kinds in the table
                           # (gates tracing of the expensive families)
+    has_mapping: bool = False   # static: any non-UV 2D mapping present
 
 
 def _round_up_pow2(x):
@@ -124,7 +133,7 @@ class TextureBuilder:
 
     def add(self, kind, value=(0.0, 0.0, 0.0), params=(1, 1, 0, 0, 8, 0.5, 1, 0),
             sub=(-1, -1), image: Optional[np.ndarray] = None,
-            world2tex=None) -> int:
+            world2tex=None, mapping: int = MAP_UV) -> int:
         off, w, h, nlev = 0, 0, 0, 0
         mip_off = np.zeros(MAX_MIP, np.int32)
         if image is not None:
@@ -138,8 +147,9 @@ class TextureBuilder:
                 self.pool.append(flat)
                 self.pool_len += flat.shape[0]
             mip_off[nlev:] = mip_off[nlev - 1]
-        p = np.zeros(8, np.float32)
+        p = np.zeros(10, np.float32)
         p[:len(params)] = params
+        p[8] = float(mapping)
         self.rows.append(dict(
             kind=kind, value=np.asarray(value, np.float32), params=p,
             sub=np.asarray(sub, np.int32),
@@ -163,7 +173,9 @@ class TextureBuilder:
             mip_off=col("mip_off", np.int32),
             texels=jnp.asarray(texels), world2tex=col("world2tex"),
             n=len(self.rows),
-            kinds_present=tuple(sorted({r["kind"] for r in self.rows})))
+            kinds_present=tuple(sorted({r["kind"] for r in self.rows})),
+            has_mapping=any(float(r["params"][8]) != 0.0
+                            for r in self.rows))
 
 
 # --- Perlin noise (texture.dart Noise/FBm/Turbulence) ----------------------
@@ -225,6 +237,41 @@ def turbulence(p, octaves=8, omega=0.5):
 
 
 # --- evaluation ------------------------------------------------------------
+
+def _map_uv(tex: TextureData, tid, it):
+    """2D mapping -> (u, v) per ray (lib/core/texture/*.dart).
+
+    MAP_UV: u = su*u + du (uv_mapping2d.dart). MAP_SPHERICAL: theta/pi,
+    phi/2pi of the world2tex-transformed point. MAP_CYLINDRICAL: phi/2pi, z.
+    MAP_PLANAR: p.vs + du, p.vt + dv with vs/vt as world2tex rows 0/1."""
+    prm = tex.params[tid]
+    su, sv, du, dv = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
+    uv = it["uv"]
+    u0 = uv[..., 0] * su + du
+    v0 = uv[..., 1] * sv + dv
+    if not tex.has_mapping:
+        return u0, v0
+    mode = prm[..., 8].astype(jnp.int32)
+    m = tex.world2tex[tid]
+    pt = jnp.einsum("rij,rj->ri", m[..., :3, :3], it["p"]) + m[..., :3, 3]
+    r_len = jnp.sqrt(jnp.maximum(jnp.sum(pt * pt, axis=-1), 1e-18))
+    theta = jnp.arccos(jnp.clip(pt[..., 2] / r_len, -1.0, 1.0))
+    phi = jnp.arctan2(pt[..., 1], pt[..., 0])
+    phi = jnp.where(phi < 0, phi + 2.0 * np.pi, phi)
+    u_s = theta * (1.0 / np.pi)
+    v_s = phi * (0.5 / np.pi)
+    u_c = phi * (0.5 / np.pi)
+    v_c = pt[..., 2]
+    u_p = pt[..., 0] + du
+    v_p = pt[..., 1] + dv
+    u = jnp.where(mode == MAP_SPHERICAL, u_s,
+                  jnp.where(mode == MAP_CYLINDRICAL, u_c,
+                            jnp.where(mode == MAP_PLANAR, u_p, u0)))
+    v = jnp.where(mode == MAP_SPHERICAL, v_s,
+                  jnp.where(mode == MAP_CYLINDRICAL, v_c,
+                            jnp.where(mode == MAP_PLANAR, v_p, v0)))
+    return u, v
+
 
 def _bilinear_level(tex: TextureData, tid, u, v, level):
     """Bilinear lookup at an integer mip level (MIPMap.triangle,
@@ -321,11 +368,9 @@ def _eval_leaf(tex: TextureData, tid, it):
     present = set(tex.kinds_present)
     kind = tex.kind[tid]
     prm = tex.params[tid]
-    uv = it["uv"]
     p = it["p"]
-    su, sv, du, dv = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
-    u = uv[..., 0] * su + du
-    v = uv[..., 1] * sv + dv
+    su, sv = prm[..., 0], prm[..., 1]
+    u, v = _map_uv(tex, tid, it)
     out = tex.value[tid]                                   # CONST
     if IMAGEMAP in present:
         duv = it.get("tex_duv")
@@ -387,10 +432,7 @@ def evaluate(tex: TextureData, tid, it):
     c1 = _eval_leaf(tex, sub1, it)
     c2 = _eval_leaf(tex, sub2, it)
     prm = tex.params[tid]
-    uv = it["uv"]
-    su, sv, du, dv = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
-    u = uv[..., 0] * su + du
-    v = uv[..., 1] * sv + dv
+    u, v = _map_uv(tex, tid, it)
     if SCALE in present:
         out = jnp.where((kind == SCALE)[..., None], c1 * c2, out)
     if MIX in present:

@@ -113,3 +113,18 @@ def test_overrides():
     job = pp.parse(text)
     job2 = manager.apply_overrides(job, {"resolution_scale": 0.5, "spp": 1})
     assert job2.width == 24 and job2.sampler.spp == 1
+
+
+def test_igi_env_fixture_renders():
+    """Driver config #5 fixture: igi + environment camera + HDR envmap
+    (scenes/igi-env.pbrt). The envmap must be visible (sky gradient) and
+    importance-sampled light must reach the floor."""
+    img = manager.render_pbrt(
+        os.path.join(SCENES, "igi-env.pbrt"),
+        search_paths=[SCENES],
+        overrides={"resolution_scale": 0.5, "spp": 2})
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01          # lit by the envmap
+    # environment camera: top rows see sky (blueish), bottom rows floor
+    top = img[:4].mean(axis=(0, 1))
+    assert top[2] > top[0]            # sky gradient is blue-dominant

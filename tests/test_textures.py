@@ -91,6 +91,36 @@ def test_anisotropic_beats_trilinear_on_grazing_footprint():
     assert mse_a < 0.5 * mse_t, (mse_a, mse_t)
 
 
+def test_2d_texture_mappings():
+    """Spherical / cylindrical / planar 2D mappings
+    (lib/core/texture/*.dart): uv computed from the hit POINT."""
+    import jax.numpy as jnp
+    b = tx.TextureBuilder()
+    t_sph = b.add(tx.UV, params=(1, 1, 0, 0), mapping=tx.MAP_SPHERICAL)
+    w2t = np.eye(4, dtype=np.float32)
+    w2t[0, :3] = [2, 0, 0]      # vs
+    w2t[1, :3] = [0, 0, 1]      # vt
+    t_pl = b.add(tx.UV, params=(1, 1, 0.25, 0.0), mapping=tx.MAP_PLANAR,
+                 world2tex=w2t)
+    data = b.build()
+    assert data.has_mapping
+    # spherical: point on +z axis -> theta 0 -> u 0; equator +x -> u 0.5
+    pts = np.asarray([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    it = {"uv": jnp.zeros((3, 2)), "p": jnp.asarray(pts)}
+    out = np.asarray(tx.evaluate(data, jnp.full((3,), t_sph, jnp.int32), it))
+    # UV texture returns (u%1, v%1, 0)
+    np.testing.assert_allclose(out[0, 0], 0.0, atol=1e-5)       # pole
+    np.testing.assert_allclose(out[1, 0], 0.5, atol=1e-5)       # equator
+    np.testing.assert_allclose(out[2, 1], 0.25, atol=1e-5)      # phi=pi/2
+    # planar: u = 2*x + 0.25, v = z
+    pts2 = np.asarray([[0.1, 5.0, 0.3]], np.float32)
+    it2 = {"uv": jnp.zeros((1, 2)), "p": jnp.asarray(pts2)}
+    out2 = np.asarray(tx.evaluate(data, jnp.full((1,), t_pl, jnp.int32),
+                                  it2))
+    np.testing.assert_allclose(out2[0, 0], 0.45, atol=1e-5)
+    np.testing.assert_allclose(out2[0, 1], 0.3, atol=1e-5)
+
+
 def test_checker_and_fbm_deterministic():
     b = tx.TextureBuilder()
     c1 = b.add(tx.CONST, (1, 1, 1))

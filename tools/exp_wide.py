@@ -93,7 +93,7 @@ def main():
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     r = 512 * 512
     from dartray_tpu.ops import traverse_pallas as tp
-    for k in ([32, 64] if "--k" not in sys.argv else
+    for k in ([8, 16, 32] if "--k" not in sys.argv else
               [int(sys.argv[sys.argv.index("--k") + 1])]):
         packed = jax.device_put(build_geom(n_tris, k=k))
         tmin = jnp.zeros((r,), jnp.float32)
@@ -107,10 +107,9 @@ def main():
                                       jnp.asarray([-1.2] * 3),
                                       jnp.asarray([1.2] * 3))
                 o, d = o[order], d[order]
-            for which, fn in (("v3", tp.traverse3), ("v4", tp.traverse4),
-                              ("v5", tp.traverse5)):
+            for which, fn in (("v5", tp.traverse5), ("v6", tp.traverse6)):
                 for br in (8, 16):
-                    if which == "v4" and br != 8:
+                    if which in ("v4", "v6") and br != 8:
                         continue
                     bench(fn, packed, o, d, tmin, tmax,
                           f"k{k} {nm} {which} rows={br}", block_rows=br)
@@ -119,5 +118,37 @@ def main():
                       block_rows=8)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (len(sys.argv) > 1 and sys.argv[1] == "counters"):
     main()
+
+
+def counters_run():
+    """v5 step/leaf-round counters on coherent + incoherent sets."""
+    n_tris = 100_000
+    from dartray_tpu.ops import traverse_pallas as tp
+    packed = jax.device_put(build_geom(n_tris, k=32))
+    r = 512 * 512
+    tmin = jnp.zeros((r,), jnp.float32)
+    tmax = jnp.full((r,), jnp.inf, jnp.float32)
+    for nm, (o, d) in (("coherent", camera_rays(r)),
+                       ("incoherent-sorted", bounce_rays(r))):
+        o = jnp.asarray(o)
+        d = jnp.asarray(d)
+        if nm.startswith("incoherent"):
+            order = tp.sort_order(o, d, tmin, tmax,
+                                  jnp.asarray([-1.2] * 3),
+                                  jnp.asarray([1.2] * 3))
+            o, d = o[order], d[order]
+        t, p, cnt = tp.traverse5(packed, o, d, tmin, tmax, counters=True)
+        cnt = np.asarray(cnt)
+        steps = cnt[:, 0, 0].astype(np.float64)
+        leafs = cnt[:, 1, 0].astype(np.float64)
+        print(f"{nm}: blocks={cnt.shape[0]} steps/blk mean={steps.mean():.0f}"
+              f" p95={np.percentile(steps,95):.0f}"
+              f" leafrounds/blk mean={leafs.mean():.0f}"
+              f" p95={np.percentile(leafs,95):.0f}", flush=True)
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "counters":
+    counters_run()
+    sys.exit(0)
