@@ -359,21 +359,30 @@ class Distribution1D:
     searchsorted-based — O(log n) per sample, fully batched.
     """
 
-    def __init__(self, func: jnp.ndarray):
-        func = jnp.asarray(func, jnp.float32)
+    def __init__(self, func):
+        # HOST-side construction (numpy): building eagerly with jnp runs
+        # every cumsum/where as a device op — ~100 ms each over a tunneled
+        # chip, hundreds of seconds per scene. Traced (tracer) funcs keep
+        # the jnp path for in-jit construction.
+        if isinstance(func, jax.core.Tracer):
+            xp = jnp
+            func = func.astype(jnp.float32)
+        else:
+            xp = np
+            func = np.asarray(func, np.float32)
         n = func.shape[-1]
-        cdf = jnp.concatenate([jnp.zeros(func.shape[:-1] + (1,), jnp.float32),
-                               jnp.cumsum(func / n, axis=-1)], axis=-1)
+        cdf = xp.concatenate([xp.zeros(func.shape[:-1] + (1,), xp.float32),
+                              xp.cumsum(func / n, axis=-1)], axis=-1)
         total = cdf[..., -1:]
         # Degenerate (all-zero) distributions fall back to uniform.
-        uniform_cdf = jnp.linspace(0.0, 1.0, n + 1, dtype=jnp.float32)
-        uniform_cdf = jnp.broadcast_to(uniform_cdf, cdf.shape)
+        uniform_cdf = xp.linspace(0.0, 1.0, n + 1, dtype=xp.float32)
+        uniform_cdf = xp.broadcast_to(uniform_cdf, cdf.shape)
         self.degenerate = total[..., 0] == 0.0
-        self.cdf = jnp.where(self.degenerate[..., None], uniform_cdf,
-                             cdf / jnp.where(total == 0.0, 1.0, total))
-        self.func = jnp.where(self.degenerate[..., None], jnp.ones_like(func),
-                              func)
-        self.func_int = jnp.where(self.degenerate, 1.0 / n, total[..., 0])
+        self.cdf = xp.where(self.degenerate[..., None], uniform_cdf,
+                            cdf / xp.where(total == 0.0, 1.0, total))
+        self.func = xp.where(self.degenerate[..., None], xp.ones_like(func),
+                             func)
+        self.func_int = xp.where(self.degenerate, 1.0 / n, total[..., 0])
         self.n = n
 
     def sample_continuous(self, u):
@@ -409,8 +418,11 @@ class Distribution2D:
       marg_cdf (nv+1,), marg_func (nv,), marg_int ().
     """
 
-    def __init__(self, func2d: jnp.ndarray):
-        func2d = jnp.asarray(func2d, jnp.float32)  # (nv, nu)
+    def __init__(self, func2d):
+        # host-side numpy unless traced (see Distribution1D — eager jnp
+        # construction is a remote-compile per op on a tunneled chip)
+        if not isinstance(func2d, jax.core.Tracer):
+            func2d = np.asarray(func2d, np.float32)  # (nv, nu)
         nv, nu = func2d.shape
         self.nu, self.nv = nu, nv
         cond = Distribution1D(func2d)             # batched over rows

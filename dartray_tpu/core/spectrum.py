@@ -33,10 +33,14 @@ def xyz_to_rgb(xyz):
     return xyz @ jnp.asarray(XYZ_TO_RGB).T
 
 
-def luminance(rgb):
-    """y() of the spectrum == XYZ Y channel (rgb_color.dart luminance)."""
-    w = jnp.asarray(RGB_TO_XYZ[1])
-    return rgb @ w
+def luminance(c):
+    """y() of the spectrum == XYZ Y channel (rgb_color.dart luminance).
+    Mode-aware: in SAMPLED mode the channels are band averages."""
+    if _mode == "sampled":
+        w = jnp.asarray(BANDS_TO_XYZ[1])
+    else:
+        w = jnp.asarray(RGB_TO_XYZ[1])
+    return c @ w
 
 
 def is_black(rgb):
@@ -97,3 +101,81 @@ def spd_to_rgb(lambdas, values, illuminant=False):
         xyz /= (cmf[:, 1].sum() * 5.0)
     rgb = XYZ_TO_RGB.astype(np.float64) @ xyz
     return jnp.asarray(rgb, jnp.float32)
+
+
+# --- SAMPLED-spectrum rendering mode ---------------------------------------
+# Counterpart of the reference's global Spectrum.type switch
+# (spectrum.dart:32-58) and SampledSpectrum (sampled_spectrum.dart:23-390).
+# TPU redesign: the channel dimension of every radiometric array becomes
+# N_BANDS spectral band averages instead of RGB primaries, so the ENTIRE
+# wavefront pipeline transports per-wavelength-band radiance with zero
+# added cost — the (..., 3) arrays are reinterpreted, not widened. DartRay's
+# SampledSpectrum.NUM_SAMPLES is 4; here NUM_SAMPLES = 3 so the band
+# dimension rides the existing 3-lane color layout (a quality knob, same
+# algorithm). Transport multiplies per-band (physically meaningful for
+# metal eta/k and peaky illuminants, unlike RGB-primaries products); bands
+# convert to XYZ only at film accumulation.
+
+N_BANDS = 3
+BAND_EDGES = np.array([400.0, 500.0, 600.0, 700.0])   # nm
+
+_mode = "rgb"
+
+
+def set_mode(mode: str):
+    """Global spectral representation switch ("rgb" | "sampled"),
+    Spectrum.type semantics. Set BEFORE parsing/building a scene — parse-
+    time conversions bake the representation into the scene tables."""
+    global _mode
+    assert mode in ("rgb", "sampled"), mode
+    _mode = mode
+
+
+def mode() -> str:
+    return _mode
+
+
+def _bands_cmf():
+    cmf = cie_xyz_fit(_CIE_LAMBDA)
+    m = np.zeros((3, N_BANDS))
+    for b in range(N_BANDS):
+        sel = (_CIE_LAMBDA >= BAND_EDGES[b]) & (_CIE_LAMBDA < BAND_EDGES[b + 1])
+        m[:, b] = cmf[sel].sum(axis=0) * 5.0
+    # flat spectrum of 1 -> Y = 1 (matches RGB mode's (1,1,1) luminance)
+    return m / (cmf[:, 1].sum() * 5.0)
+
+
+BANDS_TO_XYZ = _bands_cmf().astype(np.float32)          # (3 xyz, 3 bands)
+_XYZ_TO_BANDS = np.linalg.inv(BANDS_TO_XYZ).astype(np.float32)
+
+
+def spd_to_bands(lambdas, values, illuminant=False):
+    """Piecewise-linear SPD -> per-band averages (SampledSpectrum
+    fromSampled, sampled_spectrum.dart)."""
+    lambdas = np.asarray(lambdas, np.float64)
+    values = np.asarray(values, np.float64)
+    order = np.argsort(lambdas)
+    lambdas, values = lambdas[order], values[order]
+    grid = np.arange(BAND_EDGES[0], BAND_EDGES[-1], 2.0)
+    v = np.interp(grid, lambdas, values)
+    out = np.zeros(N_BANDS)
+    for b in range(N_BANDS):
+        sel = (grid >= BAND_EDGES[b]) & (grid < BAND_EDGES[b + 1])
+        out[b] = v[sel].mean()
+    return jnp.asarray(out, jnp.float32)
+
+
+def rgb_to_bands(rgb):
+    """RGB -> 3-band spectrum with the same XYZ (a Smits-style basis
+    reduced to N_BANDS; exact in color, clamped nonneg in energy)."""
+    arr = np.asarray(rgb, np.float32)
+    xyz = arr @ RGB_TO_XYZ.T
+    return np.maximum(xyz @ _XYZ_TO_BANDS.T, 0.0)
+
+
+def to_xyz(c):
+    """Radiance channels -> XYZ under the current global mode (the film
+    accumulation conversion, image_film.dart:99-185)."""
+    if _mode == "sampled":
+        return c @ jnp.asarray(BANDS_TO_XYZ).T
+    return rgb_to_xyz(c)

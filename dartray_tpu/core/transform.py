@@ -11,6 +11,7 @@ from __future__ import annotations
 import math as _pymath
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from . import math as vm
@@ -56,51 +57,58 @@ class Transform(NamedTuple):
         return jnp.stack([jnp.min(pts, axis=0), jnp.max(pts, axis=0)])
 
     def swaps_handedness(self):
-        det = jnp.linalg.det(self.m[:3, :3])
+        det = np.linalg.det(np.asarray(self.m)[:3, :3])
         return det < 0.0
 
     def has_scale(self):
-        m3 = self.m[:3, :3]
-        la = jnp.sum(m3 ** 2, axis=1)
-        return bool(jnp.any(jnp.abs(la - 1.0) > 1e-3))
+        m3 = np.asarray(self.m)[:3, :3]
+        la = np.sum(m3 ** 2, axis=1)
+        return bool(np.any(np.abs(la - 1.0) > 1e-3))
 
+
+# Factories build HOST numpy matrices: scene compilation composes and reads
+# these eagerly, and a single eager device op / device->host readback costs
+# seconds-to-minutes over a tunneled chip (measured: one 4x4 np.asarray of a
+# device array = 193 s). Device kernels receive them as jit constants/args.
 
 def identity() -> Transform:
-    return Transform(jnp.eye(4, dtype=jnp.float32),
-                     jnp.eye(4, dtype=jnp.float32))
+    return Transform(np.eye(4, dtype=np.float32),
+                     np.eye(4, dtype=np.float32))
 
 
 def from_matrix(m) -> Transform:
-    m = jnp.asarray(m, jnp.float32).reshape(4, 4)
-    return Transform(m, jnp.linalg.inv(m).astype(jnp.float32))
+    m = np.asarray(m, np.float32).reshape(4, 4)
+    return Transform(m, np.linalg.inv(m).astype(np.float32))
 
 
 def translate(d) -> Transform:
     """(transform.dart:214 Translate)"""
-    d = jnp.asarray(d, jnp.float32)
-    m = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(d)
-    mi = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(-d)
+    d = np.asarray(d, np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = d
+    mi = np.eye(4, dtype=np.float32)
+    mi[:3, 3] = -d
     return Transform(m, mi)
 
 
 def scale(x, y, z) -> Transform:
     """(transform.dart Scale)"""
-    s = jnp.asarray([x, y, z], jnp.float32)
-    m = jnp.diag(jnp.concatenate([s, jnp.ones(1, jnp.float32)]))
-    mi = jnp.diag(jnp.concatenate([1.0 / s, jnp.ones(1, jnp.float32)]))
+    s = np.asarray([x, y, z], np.float32)
+    m = np.diag(np.concatenate([s, np.ones(1, np.float32)]))
+    mi = np.diag(np.concatenate([1.0 / s, np.ones(1, np.float32)]))
     return Transform(m, mi)
 
 
 def _rot(axis_idx, angle_deg):
     a = _pymath.radians(float(angle_deg))
     c, s = _pymath.cos(a), _pymath.sin(a)
-    m = jnp.eye(4, dtype=jnp.float32)
+    m = np.eye(4, dtype=np.float32)
     i, j = [(1, 2), (0, 2), (0, 1)][axis_idx]
     if axis_idx == 1:  # RotateY has transposed sign layout
-        m = m.at[i, i].set(c).at[i, j].set(s).at[j, i].set(-s).at[j, j].set(c)
+        m[i, i] = c; m[i, j] = s; m[j, i] = -s; m[j, j] = c
     else:
-        m = m.at[i, i].set(c).at[i, j].set(-s).at[j, i].set(s).at[j, j].set(c)
-    return Transform(m, m.T)
+        m[i, i] = c; m[i, j] = -s; m[j, i] = s; m[j, j] = c
+    return Transform(m, m.T.copy())
 
 
 def rotate_x(deg) -> Transform:
@@ -117,7 +125,6 @@ def rotate_z(deg) -> Transform:
 
 def rotate(deg, axis) -> Transform:
     """Rotation about an arbitrary axis (transform.dart Rotate)."""
-    import numpy as np
     a = np.asarray(axis, np.float64)
     a = a / np.linalg.norm(a)
     s = _pymath.sin(_pymath.radians(float(deg)))
@@ -133,13 +140,12 @@ def rotate(deg, axis) -> Transform:
     m[2, 0] = x * z * (1 - c) - y * s
     m[2, 1] = y * z * (1 - c) + x * s
     m[2, 2] = z * z + (1 - z * z) * c
-    mj = jnp.asarray(m, jnp.float32)
-    return Transform(mj, mj.T)
+    mj = np.asarray(m, np.float32)
+    return Transform(mj, mj.T.copy())
 
 
 def look_at(eye, look, up) -> Transform:
     """Camera-to-world transform (transform.dart LookAt)."""
-    import numpy as np
     eye = np.asarray(eye, np.float64)
     look = np.asarray(look, np.float64)
     up = np.asarray(up, np.float64)
@@ -159,8 +165,8 @@ def look_at(eye, look, up) -> Transform:
     m[:3, 1] = new_up
     m[:3, 2] = d
     m[:3, 3] = eye
-    mj = jnp.asarray(m, jnp.float32)
-    return Transform(mj, jnp.asarray(np.linalg.inv(m), jnp.float32))
+    mj = np.asarray(m, np.float32)
+    return Transform(mj, np.asarray(np.linalg.inv(m), np.float32))
 
 
 def orthographic(znear, zfar) -> Transform:
@@ -170,11 +176,11 @@ def orthographic(znear, zfar) -> Transform:
 
 def perspective(fov_deg, n, f) -> Transform:
     """(transform.dart Perspective): project z to [0,1], divide by z."""
-    persp = jnp.asarray([
+    persp = np.asarray([
         [1, 0, 0, 0],
         [0, 1, 0, 0],
         [0, 0, f / (f - n), -f * n / (f - n)],
-        [0, 0, 1, 0]], jnp.float32)
+        [0, 0, 1, 0]], np.float32)
     inv_tan = 1.0 / _pymath.tan(_pymath.radians(float(fov_deg)) / 2.0)
     return scale(inv_tan, inv_tan, 1.0) * from_matrix(persp)
 

@@ -138,7 +138,7 @@ def add_samples(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
         ok = ok & mask
     L_rgb = jnp.where(ok[:, None], L_rgb, 0.0)
     w_ok = ok.astype(jnp.float32)
-    xyz = spec.rgb_to_xyz(L_rgb)
+    xyz = spec.to_xyz(L_rgb)
 
     dx = image_xy[:, 0] - 0.5 - film.x0
     dy = image_xy[:, 1] - 0.5 - film.y0
@@ -197,7 +197,7 @@ def splat(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
     finite = jnp.all(jnp.isfinite(L_rgb), axis=-1)
     if mask is not None:
         finite = finite & mask
-    xyz = spec.rgb_to_xyz(jnp.where(finite[:, None], L_rgb, 0.0))
+    xyz = spec.to_xyz(jnp.where(finite[:, None], L_rgb, 0.0))
     ix = jnp.clip((image_xy[:, 0] - film.x0).astype(jnp.int32), 0,
                   film.width - 1)
     iy = jnp.clip((image_xy[:, 1] - film.y0).astype(jnp.int32), 0,

@@ -80,6 +80,8 @@ def render_image(scene, camera, sampler, li_fn, width, height,
     memory grows with the unrolled tape; use jax.checkpoint in li_fn for
     deep bounce counts)."""
     spp = spp or sampler.spp
+    from .scene import types as st
+    scene = st.to_device(scene)   # numpy-leaved scenes -> device once
     film = film_mod.make_film(width, height)
     px, py = rend.pixel_grid(width, height)
     for s in range(spp):

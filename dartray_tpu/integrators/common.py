@@ -19,14 +19,15 @@ from ..core import sampling as smp
 from ..scene import types as st
 
 
-def shadow_ray(p, ng, n_side, wi, dist, eps):
-    """Offset shadow ray (VisibilityTester.setSegment semantics)."""
+def shadow_ray(p, ng, n_side, wi, dist, eps, time=None):
+    """Offset shadow ray (VisibilityTester.setSegment semantics); `time`
+    carries the surface ray's shutter time (motion-blur occlusion)."""
     ng_f = vm.face_forward(ng, wi)
     o = p + ng_f * eps[:, None]
     return vm.Rays(o=o, d=wi,
                    tmin=jnp.zeros_like(dist),
                    tmax=dist * (1.0 - 1e-3) - eps,
-                   time=jnp.zeros_like(dist))
+                   time=jnp.zeros_like(dist) if time is None else time)
 
 
 def estimate_direct(scene, it, frame, params, wo, light_idx,
@@ -46,7 +47,8 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     cos_l = vm.absdot(ls.wi, ns)
     usable = (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
         & jnp.any(f_l != 0.0, axis=-1)
-    sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps)
+    sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps,
+                      time=it.get("time"))
     occluded = st.intersect_p(geom, sray)
     # delta lights: plain estimate; others: power heuristic vs bsdf pdf
     bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
@@ -125,7 +127,8 @@ def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
     cos_l = vm.absdot(ls.wi, ns)
     usable = mask & (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
         & jnp.any(f_l != 0.0, axis=-1)
-    sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps)
+    sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps,
+                      time=it.get("time"))
     sray = sray._replace(tmax=jnp.where(usable, sray.tmax, -1.0))
     occluded = st.intersect_p(geom, sray, order=order)
     pdf_nee = ls.pdf / float(n_lights)

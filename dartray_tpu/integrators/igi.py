@@ -56,6 +56,7 @@ class VPLData(NamedTuple):
 def preprocess(ig: IGIIntegrator, scene: st.CompiledScene,
                seed: int = 0) -> VPLData:
     """Shoot VPL paths (igi_integrator.dart preprocess, Halton-driven)."""
+    scene = st.to_device(scene)
     lt = scene.lights
     geom = scene.geometry
     s_sets = ig.n_light_sets

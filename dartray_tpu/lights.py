@@ -186,8 +186,10 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
                     else np.zeros(1, np.float32))
     # power CDF (ComputeLightSamplingCDF, integrator.dart:292-302)
     powers = np.zeros(l, np.float32)
+    _lum_w = (spec.BANDS_TO_XYZ[1] if spec.mode() == "sampled"
+              else spec.RGB_TO_XYZ[1])
     for i, s in enumerate(specs):
-        lum = float(np.dot(spec.RGB_TO_XYZ[1], np.asarray(s.intensity)))
+        lum = float(np.dot(_lum_w, np.asarray(s.intensity)))
         if s.kind == POINT:
             powers[i] = 4 * np.pi * lum
         elif s.kind == SPOT:
@@ -198,7 +200,7 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
             powers[i] = np.pi * total_area[i] * lum
         elif s.kind == INFINITE:
             m = float(np.dot(np.asarray(s.env_map).reshape(-1, 3).mean(0),
-                             spec.RGB_TO_XYZ[1])) * lum
+                             _lum_w)) * lum
             powers[i] = np.pi * scene_radius ** 2 * m
         else:
             powers[i] = 4 * np.pi * lum
@@ -207,24 +209,32 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
 
     # infinite-light importance distribution: luminance * sin(theta)
     # (infinite_area_light.dart:240-306)
+    if spec.mode() == "sampled":
+        # RGB map files -> band averages (importance luminance recomputed
+        # below from the banded radiance)
+        env_map = spec.rgb_to_bands(env_map).astype(np.float32)
+        proj_map = spec.rgb_to_bands(proj_map).astype(np.float32)
     he, we = env_map.shape[:2]
-    lum_img = env_map @ spec.RGB_TO_XYZ[1]
+    lum_w = (spec.BANDS_TO_XYZ[1] if spec.mode() == "sampled"
+             else spec.RGB_TO_XYZ[1])
+    lum_img = env_map @ lum_w
     sin_t = np.sin(np.pi * (np.arange(he) + 0.5) / he)
-    d2 = smp.Distribution2D(jnp.asarray(lum_img * sin_t[:, None] + 1e-9))
+    # host numpy end-to-end — one device_put at render entry (to_device)
+    d2 = smp.Distribution2D(np.asarray(lum_img * sin_t[:, None] + 1e-9))
     return LightTable(
-        kind=jnp.asarray(kind), p=jnp.asarray(p), intensity=jnp.asarray(inten),
-        params=jnp.asarray(params), w2l=jnp.asarray(w2l),
-        tri_offset=jnp.asarray(tri_offset), tri_count=jnp.asarray(tri_count),
-        tri_area_cdf=jnp.asarray(tri_area_cdf),
-        cdf_offset=jnp.asarray(cdf_offset),
-        total_area=jnp.asarray(total_area),
-        scene_radius=jnp.float32(scene_radius),
-        power_cdf=jnp.asarray(pc, jnp.float32),
-        env_map=jnp.asarray(env_map),
+        kind=kind, p=p, intensity=inten,
+        params=params, w2l=w2l,
+        tri_offset=tri_offset, tri_count=tri_count,
+        tri_area_cdf=tri_area_cdf,
+        cdf_offset=cdf_offset,
+        total_area=total_area,
+        scene_radius=np.float32(scene_radius),
+        power_cdf=np.asarray(pc, np.float32),
+        env_map=np.asarray(env_map, np.float32),
         env_cond_cdf=d2.cond_cdf, env_cond_func=d2.cond_func,
         env_cond_int=d2.cond_int, env_marg_cdf=d2.marg_cdf,
         env_marg_func=d2.marg_func, env_marg_int=d2.marg_int,
-        proj_map=jnp.asarray(proj_map),
+        proj_map=np.asarray(proj_map, np.float32),
         n=len(specs), env_light_index=env_idx, env_w=we, env_h=he)
 
 

@@ -194,7 +194,7 @@ def build_table(rows: List[dict]) -> MaterialTable:
     if not rows:
         rows = [matte()]
     def col(k, dt=np.float32):
-        return jnp.asarray(np.asarray([r[k] for r in rows], dt))
+        return np.asarray([r[k] for r in rows], dt)
     pool = []
     pool_len = 0
     meta = np.full((len(rows), 4), -1, np.int32)
@@ -221,7 +221,7 @@ def build_table(rows: List[dict]) -> MaterialTable:
         kr=col("kr"), spec_fresnel=col("spec_fresnel", np.int32),
         kt=col("kt"), eta=col("eta"), eta_c=col("eta_c"), k_c=col("k_c"),
         opacity=col("opacity"), tex_ids=col("tex_ids", np.int32),
-        meas_meta=jnp.asarray(meta), meas_pool=jnp.asarray(meas_pool),
+        meas_meta=meta, meas_pool=meas_pool,
         n=len(rows),
         used_tex_slots=tuple(sorted({
             s for r in rows for s in range(N_TEX_SLOTS)

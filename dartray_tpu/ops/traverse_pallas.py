@@ -1663,33 +1663,40 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
     return t_out, prim, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
 
-# kernel/config chosen from the on-chip sweep (tools/exp_traverse_pallas.py)
-DEFAULT_KERNEL = dict(closest="v4", any="v3", block_rows=8)
+# kernel/config chosen from the round-3 on-chip sweep (tools/exp_wide.py):
+# coherent (unsorted camera) waves -> v5 wide blocks at 16 rows; sorted
+# bounce/shadow waves -> v6 per-row wide packets (best incoherent numbers)
+DEFAULT_KERNEL = dict(closest_coherent=("v5", 16), closest=("v6", 8),
+                      any=("v6", 8))
 
 
 def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                    any_hit: bool = False, sort: bool = True,
-                   kernel: str | None = None, order=None):
+                   kernel: str | None = None, order=None,
+                   interpret: bool = False):
     """Full traversal pipeline: sort -> Pallas kernel -> unsort -> finish.
 
     Returns (t, prim, b1, b2) in the ORIGINAL ray order; prim indexes the
     original triangle soup (-1 miss). For any_hit, b1/b2 are zeros and t is
     the (approximate) blocker distance. Pass a precomputed `order`
     permutation to skip the in-call argsort (per-bounce sort sharing)."""
-    which = kernel or DEFAULT_KERNEL["any" if any_hit else "closest"]
+    sorted_wave = sort or order is not None
+    cfg_key = ("any" if any_hit
+               else ("closest" if sorted_wave else "closest_coherent"))
+    which, br = (kernel, 8) if kernel else DEFAULT_KERNEL[cfg_key]
     fn = {"v1": traverse, "v2": traverse2, "v3": traverse3,
-          "v4": traverse4, "v5": traverse5}[which]
-    br = DEFAULT_KERNEL["block_rows"]
-    if sort or order is not None:
+          "v4": traverse4, "v5": traverse5, "v6": traverse6}[which]
+    if sorted_wave:
         if order is None:
             order = sort_order(o, d, tmin, tmax, lo, hi)
         t_s, prim_s = fn(bvh, o[order], d[order], tmin[order], tmax[order],
-                         any_hit=any_hit, block_rows=br)
+                         any_hit=any_hit, block_rows=br, interpret=interpret)
         n = o.shape[0]
         t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
         prim_p = jnp.full((n,), -1, jnp.int32).at[order].set(prim_s)
     else:
-        t, prim_p = fn(bvh, o, d, tmin, tmax, any_hit=any_hit, block_rows=br)
+        t, prim_p = fn(bvh, o, d, tmin, tmax, any_hit=any_hit, block_rows=br,
+                       interpret=interpret)
     if any_hit:
         z = jnp.zeros_like(t)
         return t, jnp.where(prim_p >= 0, perm[jnp.maximum(prim_p, 0)], -1), \

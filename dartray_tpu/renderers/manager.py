@@ -230,7 +230,8 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
     img = rend.render(job.scene, job.camera, job.sampler, li,
                       job.width, job.height, progress=progress,
                       filter_name=job.filter_name,
-                      filter_params=job.filter_params, stats=st_)
+                      filter_params=job.filter_params, stats=st_,
+                      on_error="partial", log=log)
     # exact issued traversal-query accounting (static wavefront shapes)
     depth = job.surf_params.find_one_int("maxdepth", 5)
     n_px = job.width * job.height
@@ -278,11 +279,17 @@ def render_pbrt(text_or_path: str, search_paths=None,
     """Parse + render a PBRT scene (RenderManager.render analog).
 
     overrides: RenderOverrides analog (core/render_overrides.dart) — keys:
-    resolution_scale, spp, max_depth, quick_render.
+    resolution_scale, spp, max_depth, quick_render, spectrum
+    ("rgb"|"sampled" — the global Spectrum.type switch, applied BEFORE
+    parsing since the representation is baked at scene compile).
     """
     import os
     from ..scene import parser as parser_mod
     from ..scene import resources
+    from ..core import spectrum as spec_mod
+
+    if overrides and "spectrum" in overrides:
+        spec_mod.set_mode(overrides["spectrum"])
 
     if os.path.exists(text_or_path):
         resolver = resources.Resolver(

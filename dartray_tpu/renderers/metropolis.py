@@ -77,6 +77,8 @@ def render(scene, camera, width, height, spp=100, n_chains=8192,
 
     spp = mutations per pixel (`samplesperpixel`, Appendix B default 100).
     """
+    from ..scene import types as _st
+    scene = _st.to_device(scene)
     n_dims = 16 + 10 * (max_depth + 2)
     key = jax.random.PRNGKey(seed)
 
@@ -130,8 +132,8 @@ def render(scene, camera, width, height, spp=100, n_chains=8192,
         w_cur = (1.0 - a) * b / jnp.maximum(I_cur, 1e-30)
         w_prop = jnp.where(I_prop > 0, w_prop, 0.0)
         w_cur = jnp.where(I_cur > 0, w_cur, 0.0)
-        sp = spec.rgb_to_xyz(L_prop * w_prop[:, None])
-        sc = spec.rgb_to_xyz(L_cur * w_cur[:, None])
+        sp = spec.to_xyz(L_prop * w_prop[:, None])
+        sc = spec.to_xyz(L_cur * w_cur[:, None])
 
         def scatter(img, xy, v):
             ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, width - 1)

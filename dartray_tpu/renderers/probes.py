@@ -48,6 +48,8 @@ def render(scene, li_fn: Callable, bbox_lo=None, bbox_hi=None,
 
     n_samples per probe (default 512 = 'indirectsamples', Appendix B);
     probes are baked `chunk` cells at a time to bound the wave size."""
+    from ..scene import types as _st
+    scene = _st.to_device(scene)
     geom = scene.geometry
     if bbox_lo is None or bbox_hi is None:
         wb = np.asarray(geom.world_bound)

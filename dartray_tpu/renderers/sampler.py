@@ -68,7 +68,7 @@ def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
 def render(scene, camera, sampler, li_fn, width, height,
            progress: Optional[Callable] = None, filter_name="box",
            filter_params=None, stats=None, checkpoint_path=None,
-           checkpoint_every=8):
+           checkpoint_every=8, on_error: str = "raise", log=None):
     """Full render: returns (H, W, 3) linear RGB. Pass a stats.RenderStats
     to collect per-phase timings + exact wavefront counters.
 
@@ -76,7 +76,12 @@ def render(scene, camera, sampler, li_fn, width, height,
     every `checkpoint_every` waves and a pre-existing checkpoint at that
     path resumes the render mid-stream. Samples are keyed by (pixel,
     sample index, dimension), so a killed-and-resumed render is bit-exact
-    vs an uninterrupted one (failure recovery, SURVEY §5)."""
+    vs an uninterrupted one (failure recovery, SURVEY §5).
+
+    on_error="partial": a mid-render failure resolves and returns the film
+    accumulated so far instead of raising (the reference's worker-error
+    path completes the job with partial output,
+    dartray_web/render_manager.dart:134-140)."""
     import os
     from ..scene import types as st
     scene = st.to_device(scene)
@@ -109,17 +114,27 @@ def render(scene, camera, sampler, li_fn, width, height,
     if ctx is not None:
         ctx.__enter__()
     for s in range(start, spp):
-        s_idx = jnp.full(px.shape, s, jnp.int32)
-        film = step(scene, camera, sampler, film=film, px=px, py=py,
-                    s_idx=s_idx)
+        try:
+            s_idx = jnp.full(px.shape, s, jnp.int32)
+            film = step(scene, camera, sampler, film=film, px=px, py=py,
+                        s_idx=s_idx)
+            jax.block_until_ready(film.pixels)
+            if progress is not None:
+                progress(s + 1, spp, film)
+        except Exception as e:  # noqa: BLE001
+            if on_error != "partial":
+                raise
+            # failure recovery: resolve the partial accumulator (the
+            # additive film is valid at every wave boundary)
+            (log or print)(f"error: render failed at wave {s + 1}/{spp} "
+                           f"({type(e).__name__}: {e}); returning the "
+                           f"partial image accumulated so far")
+            break
         if stats is not None:
             stats.add("waves", 1)
             stats.add("rays/camera", px.shape[0])
-        if progress is not None:
-            progress(s + 1, spp, film)
         if checkpoint_path is not None and (s + 1) % checkpoint_every == 0 \
                 and s + 1 < spp:
-            jax.block_until_ready(film.pixels)
             film_mod.save_checkpoint(checkpoint_path, film, s + 1)
     out = np.asarray(film_mod.to_rgb(film))
     if ctx is not None:

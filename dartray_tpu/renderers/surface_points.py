@@ -35,6 +35,8 @@ def render(scene, min_sample_dist: float = 0.25, max_points: int = 50_000,
     """Generate blue-noise-ish surface points with minimum spacing
     `minsampledistance` (surface_points_renderer.dart:133-137 default 0.25).
     """
+    from ..scene import types as _st
+    scene = _st.to_device(scene)
     geom = scene.geometry
     wb = np.asarray(geom.world_bound)
     center = 0.5 * (wb[0] + wb[1])

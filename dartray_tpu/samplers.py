@@ -10,6 +10,15 @@ count (SURVEY §7 determinism requirement).
 
 Dimension allocation convention (mirrors CameraSample): dims 0,1 = image
 offset; 2,3 = lens; 4 = time; integrators draw dims >= 5 via sample_1d/2d.
+
+PIXEL SAMPLERS (lib/pixel_samplers/: linear, random, tile — a DartRay
+addition deciding which pixel to render next): intentionally ABSENT by
+redesign. The wavefront renderer evaluates EVERY film pixel in every wave
+(one sample index per wave, renderers/sampler.py), so there is no "next
+pixel" to choose — pixel ORDER only exists as the Morton layout used for
+packet coherence (pixel_grid), and progressive preview comes from the
+per-wave film callback instead of a pixel ordering. The scene parser
+accepts and ignores `PixelSampler` statements for compatibility.
 """
 from __future__ import annotations
 

@@ -633,11 +633,19 @@ class PbrtAPI:
         if m is None:
             return
         o2w = _np4(self.ctm[0])
+        o2w1 = _np4(self.ctm[1])
         if self.gs.reverse_orientation:
             m = mesh_mod.TriangleMesh(m.verts, m.faces[:, [0, 2, 1]].copy(),
                                       None if m.normals is None else -m.normals,
                                       m.uvs, m.alpha_tid)
-        m = m.transformed(o2w)
+        # object motion blur (TransformTimes/ActiveTransform,
+        # transformed_primitive.dart:26-60): differing endpoint CTMs store
+        # shutter-end vertex positions alongside the start positions
+        animated_obj = not np.allclose(o2w, o2w1, atol=1e-7)
+        m_t = m.transformed(o2w)
+        if animated_obj:
+            m_t.verts_end = m.transformed(o2w1).verts
+        m = m_t
         if self.current_object is not None:
             self.objects[self.current_object].append(
                 (m, dict(self.gs.material), self.gs.area_light))
@@ -888,6 +896,7 @@ class PbrtAPI:
 
         accel_name, accel_p = self.opts["accelerator"]
         split = accel_p.find_one_string("splitmethod", "sah")
+        self.builder.shutter = (shutter_open, shutter_close)
         if accel_name in ("kdtree", "grid"):
             # documented redesign decision (kdtree_accel.dart:41,
             # grid_accel.dart:33): pointer-chasing kd-tree/DDA-grid traversal

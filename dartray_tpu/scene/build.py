@@ -23,6 +23,7 @@ class SceneBuilder:
         self.light_specs: List[lt_mod.LightSpec] = []
         self.volume = None
         self.textures = None
+        self.shutter = (0.0, 1.0)   # camera shutter (motion-blur bins)
 
     def add_material(self, row: dict) -> int:
         self.mat_rows.append(row)
@@ -59,7 +60,8 @@ class SceneBuilder:
             face_off += m.n_faces
         geom = st.compile_geometry(self.meshes, self.mesh_mat, light_ids,
                                    split_method=split_method,
-                                   textures=self.textures)
+                                   textures=self.textures,
+                                   shutter=self.shutter)
         wb = np.asarray(geom.world_bound)
         radius = float(np.linalg.norm(wb[1] - wb[0]) * 0.5) or 10.0
         lt = lt_mod.build_table(specs, scene_radius=radius)

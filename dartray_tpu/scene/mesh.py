@@ -33,6 +33,11 @@ class TriangleMesh:
     uvs: Optional[np.ndarray] = None
     # alpha-mask float-texture id (triangle_mesh.dart 'alpha'); -1 = opaque
     alpha_tid: int = -1
+    # shutter-end vertex positions for object motion blur
+    # (transformed_primitive.dart:26-60 AnimatedTransform); None = static.
+    # Vertices lerp linearly over the shutter (exact for translations,
+    # chord approximation of the reference's slerp for rotations).
+    verts_end: Optional[np.ndarray] = None
 
     @property
     def n_faces(self):
@@ -63,8 +68,11 @@ class TriangleMesh:
         faces = self.faces
         if np.linalg.det(m4[:3, :3]) < 0:
             faces = faces[:, [0, 2, 1]]
+        ve = self.verts_end
+        if ve is not None:
+            ve = (ve @ m4[:3, :3].T + m4[:3, 3]).astype(np.float32)
         return TriangleMesh(v.astype(np.float32), faces.astype(np.int32),
-                            n, self.uvs, self.alpha_tid)
+                            n, self.uvs, self.alpha_tid, ve)
 
 
 def make_mesh(verts, faces, normals=None, uvs=None) -> TriangleMesh:

@@ -74,35 +74,43 @@ class ParamSet:
             default, np.float64)
 
     def find_one_spectrum(self, name, default=(0.0, 0.0, 0.0)):
-        """Returns RGB triple; converts xyz/blackbody/sampled on the fly
-        (param_set.dart findOneSpectrum)."""
+        """Returns a 3-channel spectrum triple in the GLOBAL spectrum mode
+        (param_set.dart findOneSpectrum + Spectrum.type, spectrum.dart:32-58):
+        RGB primaries in "rgb" mode, per-band averages in "sampled" mode —
+        SPD/blackbody data keeps its spectral shape in sampled mode instead
+        of collapsing through the CIE observer."""
+        sampled = spec.mode() == "sampled"
         if name in self.items:
             t, v = self.items[name]
             self.used.add(name)
             if t in ("rgb", "color"):
-                return np.asarray(v[:3], np.float64)
+                c = np.asarray(v[:3], np.float64)
+                return spec.rgb_to_bands(c).astype(np.float64) if sampled \
+                    else c
             if t == "xyz":
-                return np.asarray(spec.XYZ_TO_RGB, np.float64) @ np.asarray(
+                c = np.asarray(spec.XYZ_TO_RGB, np.float64) @ np.asarray(
                     v[:3], np.float64)
+                return spec.rgb_to_bands(c).astype(np.float64) if sampled \
+                    else c
             if t == "blackbody":
                 temp = float(v[0])
                 scale = float(v[1]) if len(v) > 1 else 1.0
                 lam = np.arange(380.0, 781.0, 5.0)
                 sp = spec.blackbody(lam, temp)
                 sp = sp / max(sp.max(), 1e-30)
-                return np.asarray(spec.spd_to_rgb(lam, sp)) * scale
+                conv = spec.spd_to_bands if sampled else spec.spd_to_rgb
+                return np.asarray(conv(lam, sp)) * scale
             if t == "spectrum":
+                conv = spec.spd_to_bands if sampled else spec.spd_to_rgb
                 if isinstance(v[0], str):
                     # .spd file reference (param_set.dart AddSampledSpectrumFiles)
                     if SPD_LOADER is not None:
                         lv = SPD_LOADER(str(v[0]))
                         if lv is not None:
-                            return np.asarray(
-                                spec.spd_to_rgb(lv[0], lv[1]), np.float64)
+                            return np.asarray(conv(lv[0], lv[1]), np.float64)
                     return np.asarray(default, np.float64)
                 arr = np.asarray(v, np.float64).reshape(-1, 2)
-                return np.asarray(spec.spd_to_rgb(arr[:, 0], arr[:, 1]),
-                                  np.float64)
+                return np.asarray(conv(arr[:, 0], arr[:, 1]), np.float64)
             if t == "float":
                 return np.full(3, float(v[0]))
         return np.asarray(default, np.float64)

@@ -26,8 +26,9 @@ from . import mesh as mesh_mod
 @partial(jax.tree_util.register_dataclass,
          data_fields=["cl", "packed", "perm", "v0", "e1", "e2", "vn", "uv",
                       "mat_id", "light_id", "world_bound", "alpha_tid",
-                      "alpha_tex"],
-         meta_fields=["n_prims", "n_nodes", "has_alpha"])
+                      "alpha_tex", "motion"],
+         meta_fields=["n_prims", "n_nodes", "has_alpha", "n_motion_bins",
+                      "shutter"])
 @dataclasses.dataclass
 class Geometry:
     """Triangle soup + threaded BVH + per-face attribute tables.
@@ -54,9 +55,17 @@ class Geometry:
     world_bound: jnp.ndarray   # (2, 3)
     alpha_tid: Any = None      # (F,) int32 alpha-mask texture id (-1 none)
     alpha_tex: Any = None      # textures.TextureData when has_alpha
+    # object motion blur: per-shutter-bin geometry variants (vertices lerped
+    # at bin centers, each with its own BVH). A TPU redesign of
+    # transformed_primitive.dart's per-ray AnimatedTransform interpolation:
+    # rays are partitioned by time into static bins (stratified shutter),
+    # exact as bins -> spp
+    motion: Any = None         # tuple of per-bin Geometry, or None
     n_prims: int = 0
     n_nodes: int = 0
     has_alpha: bool = False    # static: gates the cutout continuation loop
+    n_motion_bins: int = 0     # static: 0 = static scene
+    shutter: tuple = (0.0, 1.0)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -71,8 +80,12 @@ class CompiledScene:
     textures: Any       # textures.TextureData or None
 
 
+MOTION_BINS = 4      # shutter strata for moving geometry
+
+
 def compile_geometry(meshes, mat_ids=None, light_ids=None,
-                     split_method="sah", textures=None) -> Geometry:
+                     split_method="sah", textures=None,
+                     shutter=(0.0, 1.0)) -> Geometry:
     """meshes: list of TriangleMesh (world space). mat_ids/light_ids:
     per-mesh ints. textures: the scene TextureData (required only when a
     mesh carries an alpha-mask texture; referenced by the geometry so the
@@ -124,6 +137,32 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
                            cb.tri_id)
     alpha_tid = np.concatenate(alpha_ids)
     has_alpha = bool((alpha_tid >= 0).any()) and textures is not None
+    # object motion blur: build one geometry per shutter bin with vertices
+    # lerped at the bin center (each bin gets its own BVH, built on host)
+    has_motion = any(getattr(m, "verts_end", None) is not None
+                     for m in meshes)
+    motion = None
+    n_bins = 0
+    if has_motion:
+        import dataclasses as _dc
+        n_bins = MOTION_BINS
+        motion = []
+        for b in range(n_bins):
+            t = (b + 0.5) / n_bins
+            lerped = []
+            for m in meshes:
+                if getattr(m, "verts_end", None) is not None:
+                    mv = _dc.replace(
+                        m, verts=((1.0 - t) * m.verts
+                                  + t * m.verts_end).astype(np.float32),
+                        verts_end=None)
+                else:
+                    mv = m
+                lerped.append(mv)
+            motion.append(compile_geometry(
+                lerped, mat_ids, light_ids, split_method=split_method,
+                textures=textures, shutter=shutter))
+        motion = tuple(motion)
     return Geometry(
         cl=cb, packed=packed, perm=perm,
         v0=v0, e1=e1, e2=e2,
@@ -134,7 +173,9 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         world_bound=wb.astype(np.float32),
         alpha_tid=alpha_tid if has_alpha else None,
         alpha_tex=textures if has_alpha else None,
-        n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes, has_alpha=has_alpha)
+        motion=motion,
+        n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes, has_alpha=has_alpha,
+        n_motion_bins=n_bins, shutter=tuple(shutter))
 
 
 def to_device(tree):
@@ -145,8 +186,14 @@ def to_device(tree):
     return jax.device_put(tree)
 
 
+# force the Pallas traversal in interpret mode off-TPU (tests exercise the
+# TPU code path — incl. its gradient boundary — without a chip)
+FORCE_PALLAS_INTERPRET = False
+
+
 def _use_pallas(geom) -> bool:
-    return geom.packed is not None and jax.default_backend() == "tpu"
+    return geom.packed is not None and (jax.default_backend() == "tpu"
+                                        or FORCE_PALLAS_INTERPRET)
 
 
 def _detach(x):
@@ -163,7 +210,7 @@ def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
         t, prim, b1, b2 = tp.intersect_rays(
             geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
             rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False, sort=sort,
-            order=order)
+            order=order, interpret=FORCE_PALLAS_INTERPRET)
         from ..accel.traverse import Hits
         return Hits(t=t, prim=prim, b1=b1, b2=b2)
     return cluster_mod.intersect(geom.cl, rays)
@@ -188,16 +235,39 @@ def _alpha_cut(geom: "Geometry", hits):
     return (hits.prim >= 0) & (tid >= 0) & (a[:, 0] < 1e-3)
 
 
+def _motion_bin(geom: "Geometry", rays):
+    o_, c_ = geom.shutter
+    t01 = jnp.clip((rays.time - o_) / max(c_ - o_, 1e-9), 0.0, 1.0 - 1e-6)
+    return (t01 * geom.n_motion_bins).astype(jnp.int32)
+
+
 def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
     """Closest-hit over the scene accelerator (Scene.intersect,
     lib/core/scene.dart:51). On TPU this runs the Pallas megakernel over a
     coherence-sorted wavefront; elsewhere the XLA packet traversal.
     `order`: precomputed coherence permutation (per-bounce sort sharing).
 
+    Moving-geometry scenes trace one wave per shutter bin (lanes outside
+    the bin dead) against that bin's geometry and merge.
+
     Alpha-masked scenes run a static continuation loop: cut-out hits
     re-trace from just past the hit with every other lane dead (the sorted
     kernel short-circuits dead lanes, so continuation waves cost ~the cut
     fraction)."""
+    if geom.n_motion_bins:
+        from ..accel.traverse import Hits
+        bins = _motion_bin(geom, rays)
+        h = None
+        for b, gb in enumerate(geom.motion):
+            mask = bins == b
+            rb = rays._replace(tmax=jnp.where(mask, rays.tmax, -1.0))
+            hb = intersect(gb, rb, sort=sort, order=order)
+            h = hb if h is None else Hits(
+                t=jnp.where(mask, hb.t, h.t),
+                prim=jnp.where(mask, hb.prim, h.prim),
+                b1=jnp.where(mask, hb.b1, h.b1),
+                b2=jnp.where(mask, hb.b2, h.b2))
+        return h
     geom = _detach(geom)
     rays = _detach(rays)
     order = None if order is None else jax.lax.stop_gradient(order)
@@ -223,6 +293,15 @@ def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
 
 def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
     """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
+    if geom.n_motion_bins:
+        bins = _motion_bin(geom, rays)
+        occ = None
+        for b, gb in enumerate(geom.motion):
+            mask = bins == b
+            rb = rays._replace(tmax=jnp.where(mask, rays.tmax, -1.0))
+            ob = intersect_p(gb, rb, sort=sort, order=order) & mask
+            occ = ob if occ is None else (occ | ob)
+        return occ
     geom = _detach(geom)
     rays = _detach(rays)
     order = None if order is None else jax.lax.stop_gradient(order)
@@ -233,7 +312,7 @@ def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
                 geom.packed, geom.perm, geom.world_bound[0],
                 geom.world_bound[1],
                 rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True,
-                sort=sort, order=order)
+                sort=sort, order=order, interpret=FORCE_PALLAS_INTERPRET)
             return prim >= 0
         return cluster_mod.intersect_p(geom.cl, rays)
     # alpha scenes: occlusion needs closest-hit + cutout continuation
@@ -275,7 +354,13 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
     v0 = geom.v0[prim]
     e1g = geom.e1[prim]
     e2g = geom.e2[prim]
-    p = v0 + e1g * hits.b1[:, None] + e2g * hits.b2[:, None]
+    if geom.n_motion_bins:
+        # moving geometry: the hit point comes from the ray (exact for the
+        # returned t); uv/normals interpolate the shutter-start topology
+        # (exact under translation, the anim-bluespheres class)
+        p = rays.o + rays.d * jnp.minimum(hits.t, 1e30)[:, None]
+    else:
+        p = v0 + e1g * hits.b1[:, None] + e2g * hits.b2[:, None]
     ng = vm.normalize(vm.cross(e1g, e2g))
     b0 = 1.0 - hits.b1 - hits.b2
     vn = geom.vn[prim]                     # (R, 3, 3)
@@ -301,7 +386,7 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
     out = dict(
         p=p, ng=ng, ns=ns, uv=uv, dpdu=dpdu, dpdv=dpdv,
         wo=-rays.d, mat_id=geom.mat_id[prim], light_id=geom.light_id[prim],
-        prim=hits.prim, t=hits.t)
+        prim=hits.prim, t=hits.t, time=rays.time)
     if diffs is not None:
         duv = _uv_footprint(p, ng, dpdu, dpdv, diffs)
         out["tex_duv"] = duv                       # (R,4) dudx dvdx dudy dvdy

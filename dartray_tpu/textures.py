@@ -164,14 +164,18 @@ class TextureBuilder:
             self.add(CONST, (1.0, 1.0, 1.0))
         texels = (np.concatenate(self.pool) if self.pool
                   else np.zeros((1, 3), np.float32))
-        col = lambda k, dt=np.float32: jnp.asarray(
-            np.stack([r[k] for r in self.rows]).astype(dt))
+        from .core import spectrum as spec
+        if spec.mode() == "sampled":
+            # image files are RGB: convert texel pools to band averages
+            texels = spec.rgb_to_bands(texels).astype(np.float32)
+        col = lambda k, dt=np.float32: \
+            np.stack([r[k] for r in self.rows]).astype(dt)
         return TextureData(
-            kind=jnp.asarray([r["kind"] for r in self.rows], jnp.int32),
+            kind=np.asarray([r["kind"] for r in self.rows], np.int32),
             value=col("value"), params=col("params"),
             sub=col("sub", np.int32), img_meta=col("img_meta", np.int32),
             mip_off=col("mip_off", np.int32),
-            texels=jnp.asarray(texels), world2tex=col("world2tex"),
+            texels=texels, world2tex=col("world2tex"),
             n=len(self.rows),
             kinds_present=tuple(sorted({r["kind"] for r in self.rows})),
             has_mapping=any(float(r["params"][8]) != 0.0

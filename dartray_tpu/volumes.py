@@ -87,11 +87,12 @@ def build_volume(specs: List[tuple]) -> Optional[VolumeData]:
                 grid_shape = (nz, ny, nx)
         else:
             raise ValueError(f"unknown volume {name!r}")
-    return VolumeData(kind=jnp.asarray(kind), w2v=jnp.asarray(w2v),
-                      bounds=jnp.asarray(bounds), sigma_a=jnp.asarray(sa),
-                      sigma_s=jnp.asarray(ss), le=jnp.asarray(le),
-                      g=jnp.asarray(g), params=jnp.asarray(params),
-                      grid=jnp.asarray(grid), n=n, grid_shape=grid_shape)
+    # host numpy — one device_put at render entry
+    return VolumeData(kind=np.asarray(kind), w2v=np.asarray(w2v),
+                      bounds=np.asarray(bounds), sigma_a=np.asarray(sa),
+                      sigma_s=np.asarray(ss), le=np.asarray(le),
+                      g=np.asarray(g), params=np.asarray(params),
+                      grid=np.asarray(grid), n=n, grid_shape=grid_shape)
 
 
 def _density(vol: VolumeData, i: int, p_local):

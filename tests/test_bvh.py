@@ -92,3 +92,33 @@ def test_tmin_tmax_respected():
     h2 = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays2)
     t2 = np.asarray(h2.t)
     assert ((t2 < t * 0.99) | ~np.asarray(h2.hit)).all()
+
+
+def test_object_motion_blur_bins():
+    """Object motion blur (transformed_primitive.dart:26-60 redesigned as
+    shutter-bin geometries): a sphere translating +2x over the shutter is
+    hit at bin-center positions for rays stamped with matching times."""
+    from dartray_tpu.scene import types as st, mesh as mesh_mod
+    m = mesh_mod.sphere(radius=0.5, nu=24, nv=12)
+    m.verts_end = (m.verts + np.asarray([2.0, 0, 0], np.float32))
+    geom = st.compile_geometry([m], [0], [-1])
+    assert geom.n_motion_bins > 0 and geom.motion is not None
+    geom = st.to_device(geom)     # compile_geometry returns host numpy
+    n = geom.n_motion_bins
+    # one ray per bin aimed at the bin-center sphere position
+    ts = (np.arange(n) + 0.5) / n
+    o = np.stack([2.0 * ts, np.zeros(n), np.full(n, -3.0)], -1)
+    d = np.broadcast_to(np.asarray([0, 0, 1.0], np.float32), (n, 3)).copy()
+    rays = vm.Rays(o=jnp.asarray(o, jnp.float32), d=jnp.asarray(d),
+                   tmin=jnp.zeros(n), tmax=jnp.full(n, np.inf),
+                   time=jnp.asarray(ts, jnp.float32))
+    h = st.intersect(geom, rays)
+    t = np.asarray(h.t)
+    assert (np.asarray(h.prim) >= 0).all()
+    np.testing.assert_allclose(t, 2.5, atol=0.02)   # front of the sphere
+    # a ray aimed at the START position but stamped with END time misses
+    rays2 = rays._replace(
+        o=jnp.asarray(np.asarray([[0, 0, -3.0]] * n, np.float32)),
+        time=jnp.full(n, 1.0 - 1e-4))
+    h2 = st.intersect(geom, rays2)
+    assert (np.asarray(h2.prim) < 0).all()

@@ -32,7 +32,7 @@ WorldEnd
 """
 
 
-def scene_text(surf='SurfaceIntegrator "path"', rend="", w=10, h=10, spp=2,
+def scene_text(surf='SurfaceIntegrator "path"', rend="", w=6, h=6, spp=1,
                extra=""):
     return CORNELL.format(surf=surf, rend=rend, w=w, h=h, spp=spp,
                           extra=extra)
@@ -48,6 +48,7 @@ def test_whitted_dispatch():
     _finite_nonblack(img)
 
 
+@pytest.mark.slow
 def test_photonmap_dispatch():
     surf = ('SurfaceIntegrator "photonmap" '
             '"integer causticphotons" [256] "integer indirectphotons" [512] '
@@ -56,6 +57,7 @@ def test_photonmap_dispatch():
     _finite_nonblack(img)
 
 
+@pytest.mark.slow
 def test_irradiancecache_dispatch():
     surf = ('SurfaceIntegrator "irradiancecache" '
             '"integer nsamples" [32]')
@@ -63,6 +65,7 @@ def test_irradiancecache_dispatch():
     _finite_nonblack(img)
 
 
+@pytest.mark.slow
 def test_dipole_subsurface_material_reaches_integrator():
     """subsurface material must flow into the dipole pipeline, not matte."""
     extra = ('Material "subsurface" "string name" ["skin1"]\n'
@@ -73,6 +76,7 @@ def test_dipole_subsurface_material_reaches_integrator():
     _finite_nonblack(img)
 
 
+@pytest.mark.slow
 def test_prt_dispatch():
     for name in ("diffuseprt", "glossyprt"):
         surf = (f'SurfaceIntegrator "{name}" "integer lmax" [2] '

@@ -120,3 +120,89 @@ def test_grad_through_specular_chain(box_scene):
     kt_g = np.asarray(g["materials.kt"])[2]
     assert np.isfinite(kt_g).all()
     assert float(np.abs(np.asarray(g["materials.kd"])).sum()) > 0.0
+
+
+def test_remat_grad_matches_unremat(box_scene):
+    """jax.checkpoint around the bounce body must not change gradients
+    (VERDICT r3 #7: grads that scale — O(1) memory in depth)."""
+    cam, smp, li, wh = _setup(box_scene, spp=2, wh=8)
+    ig_r = pi.PathIntegrator(max_depth=3, remat=True)
+    li_r = lambda s, r, d, c: pi.li(ig_r, s, r, d, c)
+    theta, inject = grad.select(box_scene, ["materials.kd"])
+    _, g0 = grad.render_pixel_jacobian_sum(box_scene, cam, smp, li, wh, wh,
+                                           theta, inject)
+    _, g1 = grad.render_pixel_jacobian_sum(box_scene, cam, smp, li_r, wh,
+                                           wh, theta, inject)
+    np.testing.assert_allclose(np.asarray(g1["materials.kd"]),
+                               np.asarray(g0["materials.kd"]),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_remat_grad_64px_spp8_runs(box_scene):
+    """A 64x64 spp-8 depth-5 differentiable render completes under remat
+    (the r2 docstring warned the unrolled tape blows memory)."""
+    c2w = tr.look_at([0, 1.0, -3.2], [0, 0.8, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 35.0, 64, 64)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=8)
+    ig = pi.PathIntegrator(max_depth=5, remat=True)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+    theta, inject = grad.select(box_scene, ["materials.kd"])
+    val, g = grad.render_pixel_jacobian_sum(box_scene, cam, smp, li, 64, 64,
+                                            theta, inject)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g["materials.kd"])).all()
+    assert np.abs(np.asarray(g["materials.kd"])).max() > 0
+
+
+def test_grad_through_pallas_interpret_path(box_scene):
+    """Gradients flow through the TPU (Pallas) traversal code path: the
+    kernel is a detached visibility oracle; shading at the returned hits is
+    differentiable. Run in interpret mode on CPU, compare vs the XLA
+    cluster path."""
+    from dartray_tpu.scene import types as st
+    cam, smp, li, wh = _setup(box_scene, spp=1, wh=6)
+    theta, inject = grad.select(box_scene, ["materials.kd"])
+    _, g_cl = grad.render_pixel_jacobian_sum(box_scene, cam, smp, li, wh,
+                                             wh, theta, inject)
+    st.FORCE_PALLAS_INTERPRET = True
+    try:
+        _, g_pl = grad.render_pixel_jacobian_sum(box_scene, cam, smp, li,
+                                                 wh, wh, theta, inject)
+    finally:
+        st.FORCE_PALLAS_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(g_pl["materials.kd"]),
+                               np.asarray(g_cl["materials.kd"]),
+                               rtol=5e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_inverse_render_recovers_albedo_and_light(box_scene):
+    """End-to-end inverse rendering: optimize materials.kd +
+    lights.intensity by gradient descent to match a target render; loss
+    must drop by 10x (VERDICT r3 #7 done criterion)."""
+    cam, smp, li, wh = _setup(box_scene, spp=4, wh=16)
+    target = grad.render_image(box_scene, cam, smp, li, wh, wh)
+    theta0, inject = grad.select(box_scene,
+                                 ["materials.kd", "lights.intensity"])
+    # perturb: dim the albedo, brighten the light
+    theta = {
+        "materials.kd": theta0["materials.kd"] * 0.4,
+        "lights.intensity": theta0["lights.intensity"] * 2.5,
+    }
+    loss_fn = lambda img: ((img - target) ** 2).mean()
+
+    @jax.jit
+    def step(theta):
+        def run(th):
+            return loss_fn(grad.render_image(inject(box_scene, th), cam,
+                                             smp, li, wh, wh))
+        return jax.value_and_grad(run)(theta)
+
+    lr = {"materials.kd": 2.0, "lights.intensity": 40.0}
+    losses = []
+    for i in range(30):
+        val, g = step(theta)
+        losses.append(float(val))
+        theta = {k: jnp.clip(theta[k] - lr[k] * g[k], 0.0, 50.0)
+                 for k in theta}
+    assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])

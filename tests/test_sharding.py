@@ -113,3 +113,27 @@ def test_checkpoint_kill_and_resume(tmp_path):
     img = rend.render(scene, cam, smp, li, W, H, checkpoint_path=ck,
                       checkpoint_every=2)
     np.testing.assert_array_equal(img, ref)
+
+
+def test_partial_output_on_failure():
+    """Failure detection: a mid-render error with on_error='partial'
+    returns the image accumulated so far instead of raising
+    (render_manager.dart:134-140 worker-error semantics)."""
+    scene = _scene()
+    W = H = 12
+    c2w = tr.look_at([0, 0.5, -4], [0, 0, 0], [0, 1, 0])
+    cam = cameras.perspective(c2w, 35.0, W, H)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=4)
+    ig = pi.PathIntegrator(max_depth=2)
+    li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
+
+    logs = []
+
+    def boom(s, spp, film):
+        if s >= 2:
+            raise RuntimeError("simulated worker failure")
+
+    img = rend.render(scene, cam, smp, li, W, H, progress=boom,
+                      on_error="partial", log=logs.append)
+    assert np.isfinite(img).all() and img.mean() > 0
+    assert any("partial" in m for m in logs)
