@@ -44,7 +44,7 @@ STACK_DEPTH = 128
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2",
-                      "wbounds", "worder"],
+                      "wbounds", "worder", "tv0h", "te1h", "te2h"],
          meta_fields=["n_nodes", "n_clusters", "k", "n_wnodes"])
 @dataclasses.dataclass
 class PackedBVH:
@@ -72,10 +72,15 @@ class PackedBVH:
     te2: jnp.ndarray
     wbounds: jnp.ndarray
     worder: jnp.ndarray
-    n_nodes: int
-    n_clusters: int
-    k: int
-    n_wnodes: int
+    # bfloat16 triangle copies for the in-kernel dense tests (the f32
+    # arrays above stay authoritative for the exact finish_hits recompute)
+    tv0h: jnp.ndarray = None
+    te1h: jnp.ndarray = None
+    te2h: jnp.ndarray = None
+    n_nodes: int = 0
+    n_clusters: int = 0
+    k: int = 0
+    n_wnodes: int = 0
 
 
 def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
@@ -106,12 +111,16 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     from ..accel.wide import build_wide
     wbounds, worder, n_w = build_wide(node_lo, node_hi, node_child)
     # host numpy — one device_put of the whole scene happens at render entry
+    import ml_dtypes
+    t0 = np.moveaxis(v0, -1, 0).copy()
+    t1 = np.moveaxis(e1, -1, 0).copy()
+    t2 = np.moveaxis(e2, -1, 0).copy()
+    bf = ml_dtypes.bfloat16
     packed = PackedBVH(
         bounds=bounds, meta=meta, meta2=meta2,
-        tv0=np.moveaxis(v0, -1, 0).copy(),
-        te1=np.moveaxis(e1, -1, 0).copy(),
-        te2=np.moveaxis(e2, -1, 0).copy(),
+        tv0=t0, te1=t1, te2=t2,
         wbounds=wbounds, worder=worder,
+        tv0h=t0.astype(bf), te1h=t1.astype(bf), te2h=t2.astype(bf),
         n_nodes=n, n_clusters=c, k=k, n_wnodes=n_w)
     return packed, tid.reshape(-1)
 
@@ -766,15 +775,32 @@ IDX_BITS = 7            # K <= 128
 IDX_MASK = (1 << IDX_BITS) - 1
 
 
-def _mt_dense(o3, d3, tmin3, v0, e1, e2, k):
+def _mt_dense(o3, d3, tmin3, v0, e1, e2, k, bf16: bool = False):
     """Dense Moeller-Trumbore: tri cols (K,1,1)x9 vs rays (1,R,128).
 
-    Returns t (K,R,128) with +inf on miss."""
+    Returns t (K,R,128) f32 with +inf on miss. bf16=True evaluates the
+    test in bfloat16 (2x VPU rate, (16,128) tiling) with widened edge
+    epsilons — candidate winners are conservative-approximate and the
+    EXACT hit is recomputed outside the kernel (finish_hits), so bf16 only
+    risks picking a neighbor triangle among near-ties (<~0.5% in t)."""
+    if bf16:
+        bt = jnp.bfloat16
+        o3 = tuple(x.astype(bt) for x in o3)
+        d3 = tuple(x.astype(bt) for x in d3)
+        v0 = tuple(x.astype(bt) for x in v0)
+        e1 = tuple(x.astype(bt) for x in e1)
+        e2 = tuple(x.astype(bt) for x in e2)
+        bary_eps = 1e-2
+        tri_eps = 1e-6
+    else:
+        bary_eps = BARY_EPS
+        tri_eps = TRI_EPS
     px = d3[1] * e2[2] - d3[2] * e2[1]
     py = d3[2] * e2[0] - d3[0] * e2[2]
     pz = d3[0] * e2[1] - d3[1] * e2[0]
     det = e1[0] * px + e1[1] * py + e1[2] * pz
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < tri_eps,
+                              jnp.asarray(1.0, det.dtype), det)
     tx = o3[0] - v0[0]
     ty = o3[1] - v0[1]
     tz = o3[2] - v0[2]
@@ -784,10 +810,11 @@ def _mt_dense(o3, d3, tmin3, v0, e1, e2, k):
     qz = tx * e1[1] - ty * e1[0]
     v = (d3[0] * qx + d3[1] * qy + d3[2] * qz) * inv_det
     t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-    ok = ((jnp.abs(det) >= TRI_EPS)
-          & (u >= -BARY_EPS) & (v >= -BARY_EPS)
-          & (u + v <= 1.0 + BARY_EPS)
-          & (t > tmin3))
+    ok = ((jnp.abs(det) >= tri_eps)
+          & (u >= -bary_eps) & (v >= -bary_eps)
+          & (u + v <= 1.0 + bary_eps))
+    t = t.astype(jnp.float32)
+    ok = ok & (t > tmin3)
     return jnp.where(ok, t, jnp.float32(jnp.inf))
 
 
@@ -924,7 +951,7 @@ def _kernel3(bounds_ref, meta_ref,
             v0 = (col(v0x_ref), col(v0y_ref), col(v0z_ref))
             e1 = (col(e1x_ref), col(e1y_ref), col(e1z_ref))
             e2 = (col(e2x_ref), col(e2y_ref), col(e2z_ref))
-            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k, bf16=bf16)
             if any_hit:
                 tm = jnp.where((alive & (prim < 0)).reshape(1, rows, 128),
                                tm, jnp.float32(jnp.inf))
@@ -1107,7 +1134,7 @@ def _kernel5(wb_ref, wo_ref,
              tmin_ref, tmax_ref,
              t_out, prim_out, *rest,
              k: int, rows: int, any_hit: bool, n_wnodes: int,
-             counters: bool = False):
+             counters: bool = False, bf16: bool = False):
     if counters:
         cnt_out, stack_ref, lbuf_ref, spill_ref = rest
     else:
@@ -1223,7 +1250,7 @@ def _kernel5(wb_ref, wo_ref,
             v0 = (col(v0x_ref), col(v0y_ref), col(v0z_ref))
             e1 = (col(e1x_ref), col(e1y_ref), col(e1z_ref))
             e2 = (col(e2x_ref), col(e2y_ref), col(e2z_ref))
-            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k, bf16=bf16)
             if any_hit:
                 tm = jnp.where((alive & (prim < 0)).reshape(1, rows, 128),
                                tm, jnp.float32(jnp.inf))
@@ -1256,10 +1283,10 @@ def _kernel5(wb_ref, wo_ref,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
-                                   "counters"))
+                                   "counters", "bf16"))
 def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
               block_rows: int = 8, interpret: bool = False,
-              counters: bool = False):
+              counters: bool = False, bf16: bool = False):
     """v5: wide-BVH block traversal (8 children slab-tested per step)."""
     planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -1268,7 +1295,9 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
                             memory_space=pltpu.VMEM)
     tri_args = []
     tri_specs = []
-    for arr in (bvh.tv0, bvh.te1, bvh.te2):
+    tri_src = ((bvh.tv0h, bvh.te1h, bvh.te2h) if bf16
+               else (bvh.tv0, bvh.te1, bvh.te2))
+    for arr in tri_src:
         for c in range(3):
             tri_args.append(arr[c])
             tri_specs.append(full(arr[c]))
@@ -1282,7 +1311,7 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
                                       memory_space=pltpu.VMEM))
 
     kern = partial(_kernel5, k=bvh.k, rows=block_rows, any_hit=any_hit,
-                   n_wnodes=bvh.n_wnodes, counters=counters)
+                   n_wnodes=bvh.n_wnodes, counters=counters, bf16=bf16)
     res = pl.pallas_call(
         kern,
         grid=(n_blocks,),
@@ -1326,7 +1355,7 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
              t_out, prim_out,
              stack_ref, sp_ref, lbuf_ref, lcnt_ref, spill_ref,
              *, k: int, rows: int, any_hit: bool, n_wnodes: int,
-             null_node: int, null_cluster: int):
+             null_node: int, null_cluster: int, bf16: bool = False):
     P = rows
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -1486,7 +1515,7 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
             v0 = (cols(v0x_ref), cols(v0y_ref), cols(v0z_ref))
             e1 = (cols(e1x_ref), cols(e1y_ref), cols(e1z_ref))
             e2 = (cols(e2x_ref), cols(e2y_ref), cols(e2z_ref))
-            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k)
+            tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k, bf16=bf16)
             live = alive if not any_hit else (alive & (prim < 0))
             tm = jnp.where(live.reshape(1, P, 128), tm,
                            jnp.float32(jnp.inf))
@@ -1522,9 +1551,11 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
     prim_out[:] = prim
 
 
-@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret"))
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
+                                   "bf16"))
 def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
-              block_rows: int = 8, interpret: bool = False):
+              block_rows: int = 8, interpret: bool = False,
+              bf16: bool = False):
     """v6: per-row packets over the wide BVH (block_rows must be 8 — the
     hit-bit packing groups cover exactly 8 rows)."""
     assert block_rows == 8, "v6 supports block_rows=8 only"
@@ -1543,11 +1574,13 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
         8 * (bvh.n_wnodes + 1), 8)
 
     def with_null(arr3):
-        z = jnp.zeros((1, bvh.k), arr3.dtype)
+        z = jnp.zeros((1, bvh.k), jnp.asarray(arr3[0]).dtype)
         return [jnp.concatenate([jnp.asarray(arr3[c]), z]) for c in range(3)]
 
-    tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
-                + with_null(bvh.te2))
+    tri_src = ((bvh.tv0h, bvh.te1h, bvh.te2h) if bf16
+               else (bvh.tv0, bvh.te1, bvh.te2))
+    tri_args = (with_null(tri_src[0]) + with_null(tri_src[1])
+                + with_null(tri_src[2]))
     # exact bit-pack weight constants (see _kernel6)
     w_args = []
     for g in ((0, 1, 2), (3, 4, 5), (6, 7)):
@@ -1563,7 +1596,7 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
     kern = partial(_kernel6, k=bvh.k, rows=block_rows, any_hit=any_hit,
                    n_wnodes=bvh.n_wnodes + 1, null_node=null_node,
-                   null_cluster=null_cluster)
+                   null_cluster=null_cluster, bf16=bf16)
     t, prim = pl.pallas_call(
         kern,
         grid=(n_blocks,),

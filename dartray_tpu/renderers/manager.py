@@ -227,18 +227,23 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
             filter_name=job.filter_name, filter_params=job.filter_params)
         log(f"adaptive: refined {n_ref} pixels to {mx} spp")
         return img
+    _st.QUERY_LOG.clear()
     img = rend.render(job.scene, job.camera, job.sampler, li,
                       job.width, job.height, progress=progress,
                       filter_name=job.filter_name,
                       filter_params=job.filter_params, stats=st_,
                       on_error="partial", log=log)
-    # exact issued traversal-query accounting (static wavefront shapes)
-    depth = job.surf_params.find_one_int("maxdepth", 5)
-    n_px = job.width * job.height
-    if job.surf_integrator == "ambientocclusion":
-        per_wave = n_px * (1 + job.surf_params.find_one_int("nsamples", 2048))
-    else:
+    # exact issued traversal-query accounting: every intersect/intersect_p
+    # call logs its wave size at TRACE time, so (one trace) x waves is exact
+    # for ANY integrator (fixes the r2 path-formula-for-everything bug).
+    per_wave = sum(_st.QUERY_LOG)
+    if per_wave == 0:
+        # jit cache was warm (no retrace this render): fall back to the
+        # path-shaped estimate and say so
+        depth = job.surf_params.find_one_int("maxdepth", 5)
+        n_px = job.width * job.height
         per_wave = n_px * 2 * (depth + 1)
+        st_.add("rays/queries_estimated", 1)
     st_.add("rays/traversal_queries",
             per_wave * st_.counters.get("waves", 0))
     st_.add("scene/triangles", job.scene.geometry.n_prims)

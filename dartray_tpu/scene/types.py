@@ -190,6 +190,19 @@ def to_device(tree):
 # TPU code path — incl. its gradient boundary — without a chip)
 FORCE_PALLAS_INTERPRET = False
 
+# trace-time traversal-query log: every intersect/intersect_p call appends
+# its wave size WHILE TRACING. Since a jitted wave re-executes the same
+# traced graph, (sum of one trace) x waves = EXACT issued-query count for
+# any integrator (fixes the round-2 path-formula-for-everything accounting).
+QUERY_LOG: list = []
+
+
+def _log_query(rays):
+    try:
+        QUERY_LOG.append(int(rays.o.shape[0]))
+    except Exception:   # noqa: BLE001 — never let accounting break a render
+        pass
+
 
 def _use_pallas(geom) -> bool:
     return geom.packed is not None and (jax.default_backend() == "tpu"
@@ -205,6 +218,7 @@ def _detach(x):
 
 
 def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
+    _log_query(rays)
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
         t, prim, b1, b2 = tp.intersect_rays(
@@ -302,6 +316,7 @@ def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
             ob = intersect_p(gb, rb, sort=sort, order=order) & mask
             occ = ob if occ is None else (occ | ob)
         return occ
+    _log_query(rays)
     geom = _detach(geom)
     rays = _detach(rays)
     order = None if order is None else jax.lax.stop_gradient(order)
