@@ -1697,9 +1697,10 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
 
 
 # kernel/config chosen from the round-3 on-chip sweep (tools/exp_wide.py):
-# coherent (unsorted camera) waves -> v5 wide blocks at 16 rows; sorted
-# bounce/shadow waves -> v6 per-row wide packets (best incoherent numbers)
-DEFAULT_KERNEL = dict(closest_coherent=("v5", 16), closest=("v6", 8),
+# coherent (unsorted camera) waves -> v5 wide blocks at 32 rows (6.1 vs
+# 5.5 Mrays/s at 16); sorted bounce/shadow waves -> v6 per-row wide packets
+# (best incoherent numbers: 1.75 vs v5's 1.5)
+DEFAULT_KERNEL = dict(closest_coherent=("v5", 32), closest=("v6", 8),
                       any=("v6", 8))
 
 

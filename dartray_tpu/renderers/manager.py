@@ -280,18 +280,26 @@ def _aggregate_test(scene, n_iters=100_000, log=print):
 
 def render_pbrt(text_or_path: str, search_paths=None,
                 progress: Optional[Callable] = None,
-                overrides: Optional[dict] = None) -> np.ndarray:
+                overrides: Optional[dict] = None,
+                log: Optional[Callable] = None) -> np.ndarray:
     """Parse + render a PBRT scene (RenderManager.render analog).
 
     overrides: RenderOverrides analog (core/render_overrides.dart) — keys:
     resolution_scale, spp, max_depth, quick_render, spectrum
     ("rgb"|"sampled" — the global Spectrum.type switch, applied BEFORE
     parsing since the representation is baked at scene compile).
+    log: message callback; defaults to the leveled logger
+    (dartray_tpu.log.default — warnings classified at WARNING, SEVERE
+    raises; log.dart:23-73 semantics).
     """
     import os
     from ..scene import parser as parser_mod
     from ..scene import resources
     from ..core import spectrum as spec_mod
+    from .. import log as log_mod
+
+    if log is None:
+        log = log_mod.default.as_callback()
 
     if overrides and "spectrum" in overrides:
         spec_mod.set_mode(overrides["spectrum"])
@@ -304,10 +312,10 @@ def render_pbrt(text_or_path: str, search_paths=None,
     else:
         resolver = resources.Resolver(list(search_paths or ["."]))
         text = text_or_path
-    job = parser_mod.parse(text, resolver=resolver)
+    job = parser_mod.parse(text, resolver=resolver, log=log)
     if overrides:
         job = apply_overrides(job, overrides)
-    return run(job, progress=progress)
+    return run(job, progress=progress, log=log)
 
 
 def apply_overrides(job: RenderJob, ov: dict) -> RenderJob:

@@ -94,8 +94,19 @@ def render(scene, camera, width, height, spp=100, n_chains=8192,
                           li_fn, max_depth=max_depth))
 
     # ---- bootstrap: estimate b = E[I] and resample chain seeds ----------
+    # The image dims (u[0:2]) use a scrambled (0,2)-sequence: I(u) is
+    # heavy-tailed in the pixel position (bright emitter pixels), so pure
+    # random bootstraps typically UNDERESTIMATE b (median < mean) — a
+    # consistent few-percent-dark MLT image. Stratifying the pixel dims
+    # captures the bright tail proportionally (the bootstrap phase of
+    # metropolis_renderer.dart:111-150 likewise draws structured samples).
     kb, key = jax.random.split(key)
     u_boot = jax.random.uniform(kb, (n_bootstrap, n_dims))
+    from ..core import sampling as smp_core
+    bidx = jnp.arange(n_bootstrap, dtype=jnp.uint32)
+    scr = jax.random.randint(kb, (2,), 0, 2**31 - 1,
+                             dtype=jnp.int32).astype(jnp.uint32)
+    u_boot = u_boot.at[:, 0:2].set(smp_core.sample02(bidx, scr))
     L_boot, _ = rad(u_boot)
     I_boot = spec.luminance(L_boot)
     b = float(jnp.mean(I_boot))

@@ -94,7 +94,7 @@ def test_grad_light_intensity_exact(box_scene):
     g_l = np.asarray(g["lights.intensity"])
     assert np.isfinite(g_l).all()
     assert g_l[0, 1] > 0.0      # brighter light -> brighter image
-    inten = theta["lights.intensity"]
+    inten = jnp.asarray(theta["lights.intensity"])   # tables are host numpy
     fd = grad.finite_difference(
         box_scene, cam, smp, li, wh, wh,
         {"L": inten[0, 1]},
@@ -138,6 +138,7 @@ def test_remat_grad_matches_unremat(box_scene):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_remat_grad_64px_spp8_runs(box_scene):
     """A 64x64 spp-8 depth-5 differentiable render completes under remat
     (the r2 docstring warned the unrolled tape blows memory)."""

@@ -56,8 +56,8 @@ def test_metropolis_matches_path_mean():
     ig = pi.PathIntegrator(max_depth=4)
     li = lambda s, r, d, c: pi.li(ig, s, r, d, c)
     ref = rend.render(scene, cam, smp, li, wh, wh)
-    img = mlt.render(scene, cam, wh, wh, spp=400, n_chains=4096,
-                     n_bootstrap=16384, max_depth=4,
+    img = mlt.render(scene, cam, wh, wh, spp=200, n_chains=1024,
+                     n_bootstrap=8192, max_depth=4,
                      do_direct_separately=False)
     # global brightness from the bootstrap b (the load-bearing constant)
     rel_mean = abs(img.mean() - ref.mean()) / ref.mean()

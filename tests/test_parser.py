@@ -115,6 +115,7 @@ def test_overrides():
     assert job2.width == 24 and job2.sampler.spp == 1
 
 
+@pytest.mark.slow
 def test_igi_env_fixture_renders():
     """Driver config #5 fixture: igi + environment camera + HDR envmap
     (scenes/igi-env.pbrt). The envmap must be visible (sky gradient) and
@@ -128,3 +129,32 @@ def test_igi_env_fixture_renders():
     # environment camera: top rows see sky (blueish), bottom rows floor
     top = img[:4].mean(axis=(0, 1))
     assert top[2] > top[0]            # sky gradient is blue-dominant
+
+
+@pytest.mark.slow
+def test_anim_object_motion_blur_scene():
+    """anim-bluespheres-class scene: ActiveTransform EndTime + Translate
+    smears a moving sphere across the shutter (object motion blur)."""
+    base = """
+Film "image" "integer xresolution" [40] "integer yresolution" [16]
+Sampler "lowdiscrepancy" "integer pixelsamples" [8]
+SurfaceIntegrator "directlighting"
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+LightSource "distant" "color L" [4 4 4] "point from" [0 0 -5] "point to" [0 0 0]
+AttributeBegin
+  Material "matte" "color Kd" [0.8 0.2 0.2]
+  {anim}
+  Shape "sphere" "float radius" [0.35]
+AttributeEnd
+WorldEnd
+"""
+    anim = ('ActiveTransform EndTime\n  Translate 1.2 0 0\n'
+            '  ActiveTransform All')
+    img_blur = manager.render_pbrt(base.format(anim=anim))
+    img_stat = manager.render_pbrt(base.format(anim=""))
+    cover_b = (img_blur[..., 0] > 0.05).any(axis=0).sum()
+    cover_s = (img_stat[..., 0] > 0.05).any(axis=0).sum()
+    assert np.isfinite(img_blur).all()
+    assert cover_b > cover_s + 3, (cover_b, cover_s)   # smeared wider

@@ -65,6 +65,7 @@ def test_sharded_band_compose_bitexact_box():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_sharded_gaussian_margin_compose():
     """Wide (gaussian) filter: footprints spill across band edges into the
     margin rows; overlap composition must reproduce the unsharded film."""

@@ -53,6 +53,7 @@ WorldEnd
 """
 
 
+@pytest.mark.slow
 def test_sampled_mode_transports_per_band():
     """A mid-band (500-600nm) illuminant on a reflectance that is 0.8 in
     the 500-600 band and 0.2 in 400-500: SAMPLED mode must reflect with
