@@ -132,6 +132,8 @@ class IrradiancePoints:
 
 
 def prepare(scene, sp, n_samples: int = 4, seed: int = 9):
+    from ..scene import types as _st
+    scene = _st.to_device(scene)
     E = compute_irradiances(scene, sp, n_samples, seed)
     return IrradiancePoints(p=jnp.asarray(sp.p),
                             E_times_area=jnp.asarray(

@@ -124,6 +124,8 @@ def build_cache(ig: IrradianceCacheIntegrator, scene, camera, width, height,
                 seed: int = 5) -> IrradianceCache:
     """Prime pass (IrradiancePrimeTask): strided primary rays -> irradiance
     samples at their hit points."""
+    from ..scene import types as _st
+    scene = _st.to_device(scene)
     from .. import cameras as cam_mod
     from ..renderers import sampler as rend
 

@@ -148,6 +148,7 @@ def shoot_photons(ig: PhotonMapIntegrator, scene: st.CompiledScene):
     One emission wave of n_paths photons, bounced max_photon_depth times;
     deposits are collected per (bounce, photon) slot then compacted on host
     (preprocess is host-time, matching the reference's preprocess phase)."""
+    scene = st.to_device(scene)   # scene tables are host numpy until here
     geom = scene.geometry
     lt = scene.lights
     n = max(ig.n_caustic + ig.n_indirect, 1)

@@ -76,6 +76,8 @@ def project_incident_radiance(scene: st.CompiledScene, p, lmax: int,
 
     Batched: all n_samples directions traced as ONE wave; radiance per
     direction = env Le on escape, or emitted Le of the hit primitive."""
+    from ..scene import types as _st
+    scene = _st.to_device(scene)
     geom = scene.geometry
     lt = scene.lights
     n = int(n_samples)
