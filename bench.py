@@ -116,19 +116,25 @@ def main():
                            height=height, spp=spp_budget),
                    donate_argnames=("film",))
 
-    # warmup: one scene transfer + compile
+    # warmup: one scene transfer + compile. The trailing SCALAR READBACK is
+    # load-bearing: on the axon tunnel, block_until_ready alone can return
+    # before device work completes until the executable's output has been
+    # read back once (measured round 4, tools/exp_mxu.py) — without it the
+    # timed loop under-reports wave time.
     t0 = time.time()
     from dartray_tpu.scene import types as st_mod
     scene = st_mod.to_device(scene)
     film = step(scene, cam, smp, film, px, py,
                 jnp.zeros(px.shape, jnp.int32))
     jax.block_until_ready(film.pixels)
+    _ = float(jnp.sum(film.pixels[0, :8]))
     warmup_s = time.time() - t0
     print(f"[bench] warmup+compile: {warmup_s:.1f}s", file=sys.stderr,
           flush=True)
 
     rays_per_wave = px.shape[0] * 2 * (max_depth + 1)
-    # timed waves
+    # timed waves (film threads through every step: the loop is a true
+    # sequential chain; one readback closes it)
     done = 1
     t0 = time.time()
     for s in range(1, spp_budget):
@@ -140,6 +146,7 @@ def main():
             if time.time() - t0 > max_seconds:
                 break
     jax.block_until_ready(film.pixels)
+    _ = float(jnp.sum(film.pixels[0, :8]))
     dt = time.time() - t0
     timed_waves = done - 1
     rays_s = rays_per_wave * timed_waves / max(dt, 1e-9)

@@ -221,6 +221,8 @@ def _traverse(bvh: ClusterBVH, rays: vm.Rays, any_hit: bool,
     packet's buffer fills (or all stacks drain) the outer loop runs ONE
     dense (packet x ray x buffered-cluster-tris) Moeller-Trumbore flush.
     This keeps the expensive dense test off the interior-node steps."""
+    # XLA fallback path (CPU tests): AoS internally, convert at the boundary
+    rays = rays._replace(o=vm.to_arr(rays.o), d=vm.to_arr(rays.d))
     r = rays.o.shape[0]
     n_pad = (-r) % PACKET
     o = _pad_packets(rays.o, n_pad, 0.0)

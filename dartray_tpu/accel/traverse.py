@@ -71,6 +71,8 @@ def _slab_test(o, inv_d, lo, hi, tmin, tmax):
 
 
 def _traverse(rows, links, rays: vm.Rays, any_hit: bool, max_steps: int):
+    # CPU/XLA fallback path: AoS (R, 3) internally; convert at the boundary
+    rays = rays._replace(o=vm.to_arr(rays.o), d=vm.to_arr(rays.d))
     n_nodes = rows.shape[0]
     r = rays.o.shape[0]
     octant = ray_octants(rays.d)
@@ -138,6 +140,10 @@ def brute_force_intersect(v0, e1, e2, rays: vm.Rays, chunk: int = 4096) -> Hits:
     """Exhaustive closest hit, used as the correctness oracle in the
     aggregatetest-style property tests (renderers/aggregate_test_renderer.dart).
     Scans triangles in chunks with a lax.fori over chunk index."""
+    rays = rays._replace(o=vm.to_arr(rays.o), d=vm.to_arr(rays.d))
+    v0 = vm.to_arr(v0)
+    e1 = vm.to_arr(e1)
+    e2 = vm.to_arr(e2)
     f = v0.shape[0]
     r = rays.o.shape[0]
     n_chunks = max((f + chunk - 1) // chunk, 1)

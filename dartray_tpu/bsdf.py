@@ -12,6 +12,10 @@ Every lobe's f/pdf/sample is computed for ALL lanes and combined by masks,
 exactly reproducing BSDF.sample_f's lobe-choice, pdf-averaging and
 side-test semantics (bsdf.dart:53-133, Appendix A.11).
 
+LAYOUT: all directions and colors are component-SoA (vm.V3 of (R,) arrays)
+end-to-end — (R, 3) arrays use 3 of 128 TPU lanes per tile; component
+arrays are fully lane-packed (the round-4 SoA wavefront refactor).
+
 Slots: 0=DIFF_R (Lambertian/OrenNayar), 1=DIFF_T, 2=GLOSS_R (Blinn
 Torrance-Sparrow / FresnelBlend), 3=GLOSS_T, 4=SPEC_R, 5=SPEC_T.
 """
@@ -23,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .core import math as vm
+from .core.math import V3, V2
 from .core import sampling as smp
 
 INV_PI = float(1.0 / np.pi)
@@ -57,24 +62,24 @@ SLOT_FLAGS = (
 class BSDFParams(NamedTuple):
     """Per-ray lobe parameters (outputs of the material/texture system).
 
-    All (R, 3) or (R,) arrays. Zero weight disables a slot.
+    Colors are V3 of (R,) arrays, scalars (R,). Zero weight disables a slot.
     """
-    kd: jnp.ndarray          # DIFF_R weight
+    kd: V3                   # DIFF_R weight
     sigma: jnp.ndarray       # Oren-Nayar sigma in degrees=0 -> Lambertian
-    kd_t: jnp.ndarray        # DIFF_T weight
-    ks: jnp.ndarray          # GLOSS_R weight
+    kd_t: V3                 # DIFF_T weight
+    ks: V3                   # GLOSS_R weight
     exponent: jnp.ndarray    # Blinn exponent
     gloss_fresnel: jnp.ndarray   # int32 FR_* for GLOSS_R
-    ks_t: jnp.ndarray        # GLOSS_T weight
-    kr: jnp.ndarray          # SPEC_R weight
+    ks_t: V3                 # GLOSS_T weight
+    kr: V3                   # SPEC_R weight
     spec_fresnel: jnp.ndarray    # int32 FR_* for SPEC_R
-    kt: jnp.ndarray          # SPEC_T weight
+    kt: V3                   # SPEC_T weight
     eta: jnp.ndarray         # dielectric ior (R,)
-    eta_c: jnp.ndarray       # conductor eta (R, 3)
-    k_c: jnp.ndarray         # conductor k (R, 3)
+    eta_c: V3                # conductor eta
+    k_c: V3                  # conductor k
     # measured BRDF (RegularHalfangleBRDF): None, or a tuple
     # (idx (R, 4) int32 [pool_off, nThetaH, nThetaD, nPhiD] with off = -1
-    #  for non-measured rays, pool (P, 3) f32). Evaluated as an extra
+    #  for non-measured rays, pool V3 of (P,) f32). Evaluated as an extra
     # reflection lobe sampled through the DIFF_R cosine machinery (the
     # reference's default BxDF sampling for measured data).
     meas: tuple = None
@@ -85,7 +90,7 @@ class BSDFParams(NamedTuple):
 
 
 def zero_params(r) -> BSDFParams:
-    z3 = jnp.zeros((r, 3), jnp.float32)
+    z3 = vm.v3zeros((r,))
     z1 = jnp.zeros((r,), jnp.float32)
     zi = jnp.zeros((r,), jnp.int32)
     return BSDFParams(kd=z3, sigma=z1, kd_t=z3, ks=z3,
@@ -97,39 +102,41 @@ def zero_params(r) -> BSDFParams:
 
 class Frame(NamedTuple):
     """Shading frame (nn, sn, tn) per ray (bsdf.dart constructor)."""
-    s: jnp.ndarray
-    t: jnp.ndarray
-    n: jnp.ndarray   # shading normal
-    ng: jnp.ndarray  # geometric normal
+    s: V3
+    t: V3
+    n: V3    # shading normal
+    ng: V3   # geometric normal
 
-    def to_local(self, w):
-        return jnp.stack([vm.dot(w, self.s), vm.dot(w, self.t),
-                          vm.dot(w, self.n)], axis=-1)
+    def to_local(self, w: V3) -> V3:
+        return V3(vm.dot(w, self.s), vm.dot(w, self.t), vm.dot(w, self.n))
 
-    def to_world(self, w):
-        return (self.s * w[..., 0:1] + self.t * w[..., 1:2]
-                + self.n * w[..., 2:3])
+    def to_world(self, w: V3) -> V3:
+        return self.s * w.x + self.t * w.y + self.n * w.z
 
 
-def make_frame(ns, dpdu, ng) -> Frame:
-    s = vm.normalize(dpdu - ns * vm.dot(ns, dpdu)[..., None])
+def make_frame(ns: V3, dpdu: V3, ng: V3) -> Frame:
+    s = vm.normalize(dpdu - ns * vm.dot(ns, dpdu))
     degen = vm.length_sq(s) < 1e-12
     s_fb, _ = vm.coordinate_system(ns)
-    s = jnp.where(degen[..., None], s_fb, s)
+    s = vm.where3(degen, s_fb, s)
     t = vm.cross(ns, s)
     return Frame(s=s, t=t, n=ns, ng=ng)
 
 
-def cos_theta(w):
-    return w[..., 2]
+def cos_theta(w: V3):
+    return w.z
 
 
-def abs_cos_theta(w):
-    return jnp.abs(w[..., 2])
+def abs_cos_theta(w: V3):
+    return jnp.abs(w.z)
 
 
-def same_hemisphere(w, wp):
-    return w[..., 2] * wp[..., 2] > 0.0
+def same_hemisphere(w: V3, wp: V3):
+    return w.z * wp.z > 0.0
+
+
+def _flip_z(w: V3) -> V3:
+    return V3(w.x, w.y, -w.z)
 
 
 # --- Fresnel (fresnel_dielectric.dart, fresnel_conductor.dart) -------------
@@ -152,32 +159,38 @@ def fr_dielectric(cos_i, eta):
     return jnp.where(tir, 1.0, f)
 
 
-def fr_conductor(cos_i, eta, k):
-    """Conductor Fresnel (fresnel_conductor.dart), cos_i abs; eta/k (.., 3)."""
-    ci = jnp.abs(cos_i)[..., None]
-    tmp = (eta * eta + k * k) * ci * ci
-    r_parl2 = ((tmp - 2.0 * eta * ci + 1.0)
-               / jnp.maximum(tmp + 2.0 * eta * ci + 1.0, 1e-12))
-    tmp_f = eta * eta + k * k
-    r_perp2 = ((tmp_f - 2.0 * eta * ci + ci * ci)
-               / jnp.maximum(tmp_f + 2.0 * eta * ci + ci * ci, 1e-12))
-    return 0.5 * (r_parl2 + r_perp2)
+def fr_conductor(cos_i, eta: V3, k: V3) -> V3:
+    """Conductor Fresnel (fresnel_conductor.dart), cos_i abs; eta/k V3."""
+    ci = jnp.abs(cos_i)
+    ci2 = ci * ci
+
+    def chan(e, kk):
+        tmp = (e * e + kk * kk) * ci2
+        r_parl2 = ((tmp - 2.0 * e * ci + 1.0)
+                   / jnp.maximum(tmp + 2.0 * e * ci + 1.0, 1e-12))
+        tmp_f = e * e + kk * kk
+        r_perp2 = ((tmp_f - 2.0 * e * ci + ci2)
+                   / jnp.maximum(tmp_f + 2.0 * e * ci + ci2, 1e-12))
+        return 0.5 * (r_parl2 + r_perp2)
+
+    return V3(chan(eta.x, k.x), chan(eta.y, k.y), chan(eta.z, k.z))
 
 
-def schlick(cos_i, rs):
+def schlick(cos_i, rs: V3) -> V3:
     """Schlick Fresnel approximation (fresnel_blend.dart)."""
-    c = jnp.clip(1.0 - jnp.abs(cos_i), 0.0, 1.0)[..., None]
-    return rs + c ** 5 * (1.0 - rs)
+    c = jnp.clip(1.0 - jnp.abs(cos_i), 0.0, 1.0)
+    c5 = c * c * c * c * c
+    return rs + (1.0 - rs) * c5
 
 
-def _glossy_fresnel(p: BSDFParams, cos_h):
-    """F at the half-angle for the glossy slot, per mode (R, 3)."""
-    fd = fr_dielectric(cos_h, p.eta)[..., None] * jnp.ones((1, 3))
+def _glossy_fresnel(p: BSDFParams, cos_h) -> V3:
+    """F at the half-angle for the glossy slot, per mode (V3)."""
+    fd = fr_dielectric(cos_h, p.eta)
+    fd3 = V3(fd, fd, fd)
     fc = fr_conductor(cos_h, p.eta_c, p.k_c)
-    one = jnp.ones_like(fd)
-    m = p.gloss_fresnel[..., None]
-    return jnp.where(m == FR_DIELECTRIC, fd,
-                     jnp.where(m == FR_CONDUCTOR, fc, one))
+    m = p.gloss_fresnel
+    return vm.where3(m == FR_DIELECTRIC, fd3,
+                     vm.where3(m == FR_CONDUCTOR, fc, 1.0))
 
 
 # --- Lobe evaluation (all directions in shading-local space) ---------------
@@ -190,14 +203,14 @@ def _oren_nayar_ab(sigma_deg):
     return a, b
 
 
-def _diff_f(kd, sigma, wo, wi):
+def _diff_f(kd: V3, sigma, wo: V3, wi: V3) -> V3:
     """Lambertian or Oren-Nayar (lambertian.dart, oren_nayar.dart)."""
     a, b = _oren_nayar_ab(sigma)
-    sinto = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
-    sinti = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
+    sinto = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo.z * wo.z))
+    sinti = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi.z * wi.z))
     # cos(phi_i - phi_o)
     denom = jnp.maximum(sinti * sinto, 1e-8)
-    dcos = ((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom)
+    dcos = (wi.x * wo.x + wi.y * wo.y) / denom
     maxcos = jnp.where((sinti > 1e-4) & (sinto > 1e-4),
                        jnp.maximum(dcos, 0.0), 0.0)
     sinalpha = jnp.maximum(sinti, sinto)
@@ -205,7 +218,7 @@ def _diff_f(kd, sigma, wo, wi):
         jnp.minimum(abs_cos_theta(wi), abs_cos_theta(wo)), 1e-8)
     on = a + b * maxcos * sinalpha * tanbeta
     on = jnp.where(sigma > 0.0, on, 1.0)
-    return kd * (INV_PI * on)[..., None]
+    return kd * (INV_PI * on)
 
 
 def _blinn_d(exponent, cos_h):
@@ -217,17 +230,17 @@ def _ey(p: BSDFParams):
     return p.exponent if p.exponent_v is None else p.exponent_v
 
 
-def _aniso_d(ex, ey, wh):
+def _aniso_d(ex, ey, wh: V3):
     """Ashikhmin-Shirley anisotropic D (anisotropic.dart D); equals Blinn D
     when ex == ey."""
-    costh = jnp.abs(wh[..., 2])
+    costh = jnp.abs(wh.z)
     ds = jnp.maximum(1.0 - costh * costh, 1e-12)
-    e = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
+    e = (ex * wh.x * wh.x + ey * wh.y * wh.y) / ds
     return jnp.sqrt(jnp.maximum((ex + 2.0) * (ey + 2.0), 0.0)) \
         * (0.5 * INV_PI) * jnp.power(jnp.maximum(costh, 1e-8), e)
 
 
-def _ts_g(wo, wi, wh):
+def _ts_g(wo: V3, wi: V3, wh: V3):
     """Torrance-Sparrow geometric term (microfacet.dart G)."""
     ndoth = abs_cos_theta(wh)
     ndoto = abs_cos_theta(wo)
@@ -237,47 +250,46 @@ def _ts_g(wo, wi, wh):
                                         2.0 * ndoth * ndoti / odoth))
 
 
-def _gloss_f(p: BSDFParams, ks, wo, wi):
+def _gloss_f(p: BSDFParams, ks: V3, wo: V3, wi: V3) -> V3:
     """Microfacet Torrance-Sparrow with Blinn D; or FresnelBlend.
     (Glossy transmission is evaluated by the caller via the BRDFToBTDF
     direction flip, brdf_to_btdf.dart.)"""
     wh = wi + wo
     wh_len = jnp.sqrt(jnp.maximum(vm.length_sq(wh), 1e-12))
-    wh = wh / wh_len[..., None]
-    wh = jnp.where((wh[..., 2] < 0)[..., None], -wh, wh)
+    wh = wh * (1.0 / wh_len)
+    wh = vm.where3(wh.z < 0, -wh, wh)
     cos_o = abs_cos_theta(wo)
     cos_i = abs_cos_theta(wi)
     d = _aniso_d(p.exponent, _ey(p), wh)
     g = _ts_g(wo, wi, wh)
     f_h = _glossy_fresnel(p, vm.dot(wi, wh))
-    micro = ks * (d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-8))[..., None] \
-        * f_h
+    micro = ks * f_h * (d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-8))
     # FresnelBlend (substrate): kd (Rd) and ks (Rs) combined
     # (fresnel_blend.dart f): diffuse term + specular term
-    pow5 = lambda x: x ** 5
-    diff = (28.0 / (23.0 * np.pi)) * p.kd * (1.0 - p.ks) \
-        * (1.0 - pow5(1.0 - 0.5 * cos_i))[..., None] \
-        * (1.0 - pow5(1.0 - 0.5 * cos_o))[..., None]
-    spec_blend = (d / jnp.maximum(
-        4.0 * jnp.abs(vm.dot(wi, wh)) * jnp.maximum(cos_i, cos_o),
-        1e-8))[..., None] * schlick(vm.dot(wi, wh), p.ks)
+    pow5 = lambda x: x * x * x * x * x
+    diff = p.kd * (1.0 - p.ks) * (
+        (28.0 / (23.0 * np.pi))
+        * (1.0 - pow5(1.0 - 0.5 * cos_i))
+        * (1.0 - pow5(1.0 - 0.5 * cos_o)))
+    spec_blend = schlick(vm.dot(wi, wh), p.ks) * (d / jnp.maximum(
+        4.0 * jnp.abs(vm.dot(wi, wh)) * jnp.maximum(cos_i, cos_o), 1e-8))
     blend = diff + spec_blend
-    return jnp.where((p.gloss_fresnel == FR_BLEND)[..., None], blend, micro)
+    return vm.where3(p.gloss_fresnel == FR_BLEND, blend, micro)
 
 
-def _blinn_sample_wh(exponent, u):
+def _blinn_sample_wh(exponent, u: V2) -> V3:
     """Blinn half-vector sampling (blinn.dart sample_f)."""
-    ct = jnp.power(jnp.maximum(u[..., 0], 1e-9), 1.0 / (exponent + 1.0))
+    ct = jnp.power(jnp.maximum(u.x, 1e-9), 1.0 / (exponent + 1.0))
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-    phi = u[..., 1] * 2.0 * np.pi
-    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    phi = u.y * 2.0 * np.pi
+    return V3(st * jnp.cos(phi), st * jnp.sin(phi), ct)
 
 
-def _aniso_sample_wh(ex, ey, u):
+def _aniso_sample_wh(ex, ey, u: V2) -> V3:
     """Anisotropic half-vector sampling (anisotropic.dart sample_f /
     sampleFirstQuadrant + 4-quadrant mirroring); uniform-phi Blinn sampling
     when ex == ey."""
-    u1, u2 = u[..., 0], u[..., 1]
+    u1, u2 = u.x, u.y
     q = jnp.minimum((u1 * 4.0).astype(jnp.int32), 3)
     u1q = jnp.clip(u1 * 4.0 - q.astype(jnp.float32), 0.0, 1.0 - 1e-7)
     phi_q = jnp.arctan(jnp.sqrt((ex + 1.0) / (ey + 1.0))
@@ -291,16 +303,16 @@ def _aniso_sample_wh(ex, ey, u):
                               jnp.where(q == 2, np.pi + phi_q,
                                         2.0 * np.pi - phi_q)))
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    return V3(st * jnp.cos(phi), st * jnp.sin(phi), ct)
 
 
-def _aniso_pdf(ex, ey, wo, wi):
+def _aniso_pdf(ex, ey, wo: V3, wi: V3):
     """pdf of _aniso_sample_wh mapped to wi (anisotropic.dart pdf);
     equals the Blinn pdf when ex == ey."""
     wh = vm.normalize(wo + wi)
     costh = abs_cos_theta(wh)
     ds = jnp.maximum(1.0 - costh * costh, 1e-12)
-    e = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
+    e = (ex * wh.x * wh.x + ey * wh.y * wh.y) / ds
     d = jnp.sqrt(jnp.maximum((ex + 1.0) * (ey + 1.0), 0.0)) \
         * (0.5 * INV_PI) * jnp.power(jnp.maximum(costh, 1e-8), e)
     wodoth = jnp.abs(vm.dot(wo, wh))
@@ -308,7 +320,7 @@ def _aniso_pdf(ex, ey, wo, wi):
     return jnp.where(same_hemisphere(wo, wi), pdf_h, 0.0)
 
 
-def refract(wo, eta):
+def refract(wo: V3, eta):
     """Specular transmission direction in local frame
     (specular_transmission.dart sample_f). Returns (wi, valid, ei, et)."""
     entering = cos_theta(wo) > 0.0
@@ -320,7 +332,7 @@ def refract(wo, eta):
     valid = sint2 < 1.0
     cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint2))
     cost = jnp.where(entering, -cost, cost)
-    wi = jnp.stack([-eta_r * wo[..., 0], -eta_r * wo[..., 1], cost], axis=-1)
+    wi = V3(-eta_r * wo.x, -eta_r * wo.y, cost)
     return wi, valid, ei, et
 
 
@@ -331,48 +343,49 @@ def _slot_weights(p: BSDFParams):
 
 
 def _slot_active(p: BSDFParams, flags: int):
-    """(6, R) bool: slot has weight and matches requested flags."""
+    """list of (R,) bool: slot has weight and matches requested flags."""
     act = []
     for s, w in enumerate(_slot_weights(p)):
         fl = SLOT_FLAGS[s]
         match = (fl & flags) == fl
-        has_w = jnp.any(w != 0.0, axis=-1) if match else jnp.zeros(
-            w.shape[:-1], bool)
+        if match:
+            has_w = (w.x != 0.0) | (w.y != 0.0) | (w.z != 0.0)
+        else:
+            has_w = jnp.zeros(jnp.shape(w.x), bool)
         # substrate uses kd in the glossy slot with ks possibly dark
         if s == GLOSS_R and match:
             has_w = has_w | ((p.gloss_fresnel == FR_BLEND)
-                             & jnp.any(p.kd != 0.0, axis=-1))
+                             & ((p.kd.x != 0.0) | (p.kd.y != 0.0)
+                                | (p.kd.z != 0.0)))
         # measured BRDF rides the DIFF_R slot's cosine sampling/pdf
         if s == DIFF_R and match and p.meas is not None:
             has_w = has_w | (p.meas[0][:, 0] >= 0)
         act.append(has_w)
-    return jnp.stack(act)      # (6, R)
+    return act      # list of 6 (R,) bools
 
 
-def measured_f(meas, wo, wi):
+def measured_f(meas, wo: V3, wi: V3) -> V3:
     """RegularHalfangleBRDF.f (regular_halfangle_brdf.dart:23-81): map
     (wo, wi) to the half/difference-angle table index, gather RGB.
     Inputs are LOCAL (shading-frame) directions."""
     idx, pool = meas
     wh = wo + wi
-    flip = wh[..., 2:3] < 0.0
-    wo = jnp.where(flip, -wo, wo)
-    wi = jnp.where(flip, -wi, wi)
-    wh = jnp.where(flip, -wh, wh)
-    ok = jnp.sum(wh * wh, axis=-1) > 1e-12
-    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True),
-                          1e-12)
-    cth = jnp.clip(wh[..., 2], -1.0, 1.0)
+    flip = wh.z < 0.0
+    wo = vm.where3(flip, -wo, wo)
+    wi = vm.where3(flip, -wi, wi)
+    wh = vm.where3(flip, -wh, wh)
+    ok = vm.length_sq(wh) > 1e-12
+    wh = wh * (1.0 / jnp.maximum(vm.length(wh), 1e-12))
+    cth = jnp.clip(wh.z, -1.0, 1.0)
     sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
     inv_s = 1.0 / jnp.maximum(sth, 1e-9)
-    cph = jnp.where(sth < 1e-9, 1.0, wh[..., 0] * inv_s)
-    sph = jnp.where(sth < 1e-9, 0.0, wh[..., 1] * inv_s)
-    whx = jnp.stack([cph * cth, sph * cth, -sth], axis=-1)
-    why = jnp.stack([-sph, cph, jnp.zeros_like(sph)], axis=-1)
-    wd = jnp.stack([vm.dot(wi, whx), vm.dot(wi, why), vm.dot(wi, wh)],
-                   axis=-1)
-    wd_theta = jnp.arccos(jnp.clip(wd[..., 2], -1.0, 1.0))
-    wd_phi = jnp.arctan2(wd[..., 1], wd[..., 0])
+    cph = jnp.where(sth < 1e-9, 1.0, wh.x * inv_s)
+    sph = jnp.where(sth < 1e-9, 0.0, wh.y * inv_s)
+    whx = V3(cph * cth, sph * cth, -sth)
+    why = V3(-sph, cph, jnp.zeros_like(sph))
+    wd = V3(vm.dot(wi, whx), vm.dot(wi, why), vm.dot(wi, wh))
+    wd_theta = jnp.arccos(jnp.clip(wd.z, -1.0, 1.0))
+    wd_phi = jnp.arctan2(wd.y, wd.x)
     wd_phi = jnp.where(wd_phi < 0, wd_phi + 2 * np.pi, wd_phi)
     wd_phi = jnp.where(wd_phi > np.pi, wd_phi - np.pi, wd_phi)
     wh_theta = jnp.arccos(cth)
@@ -389,57 +402,62 @@ def measured_f(meas, wo, wi):
     i_d = remap(wd_theta, np.pi / 2, ntd)
     i_p = remap(wd_phi, np.pi, npd)
     flat = idx[:, 0] + i_p + npd * (i_d + i_h * ntd)
-    val = pool[jnp.maximum(flat, 0)]
-    return jnp.where((ok & (idx[:, 0] >= 0))[..., None], val, 0.0)
+    val = vm.gather3(pool, jnp.maximum(flat, 0))
+    return vm.where3(ok & (idx[:, 0] >= 0), val, 0.0)
 
 
-def f(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
+def f(p: BSDFParams, frame: Frame, wo_w: V3, wi_w: V3, flags: int = ALL) -> V3:
     """BSDF value, non-specular lobes only (bsdf.dart f :135-156).
     Side test uses the GEOMETRIC normal (Appendix A.11)."""
     wo = frame.to_local(wo_w)
     wi = frame.to_local(wi_w)
     reflect = (vm.dot(wi_w, frame.ng) * vm.dot(wo_w, frame.ng)) > 0.0
-    eff_flags = jnp.where(reflect, flags & ~TRANSMISSION,
-                          flags & ~REFLECTION)
-    out = jnp.zeros(wo.shape, jnp.float32)
+    out = vm.v3zeros(jnp.shape(wo.z))
     act = _slot_active(p, flags)
+
+    def eff_match(fl):
+        # flags with TRANSMISSION/REFLECTION stripped by the geometric side
+        m_refl = (fl & (flags & ~TRANSMISSION)) == fl
+        m_trans = (fl & (flags & ~REFLECTION)) == fl
+        return jnp.where(reflect, m_refl, m_trans)
+
     # diffuse reflection
     fl = SLOT_FLAGS[DIFF_R]
-    m = act[DIFF_R] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wi)
-    out += jnp.where(m[..., None], _diff_f(p.kd, p.sigma, wo, wi), 0.0)
+    m = act[DIFF_R] & eff_match(fl) & same_hemisphere(wo, wi)
+    out = out + vm.where3(m, _diff_f(p.kd, p.sigma, wo, wi), 0.0)
     if p.meas is not None:   # measured BRDF lobe (same mask family)
         mm = m & (p.meas[0][:, 0] >= 0)
-        out += jnp.where(mm[..., None], measured_f(p.meas, wo, wi), 0.0)
+        out = out + vm.where3(mm, measured_f(p.meas, wo, wi), 0.0)
     # diffuse transmission (brdf_to_btdf: evaluate with wi flipped)
     fl = SLOT_FLAGS[DIFF_T]
-    wif = wi * jnp.asarray([1.0, 1.0, -1.0])
-    m = act[DIFF_T] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wif)
-    out += jnp.where(m[..., None], _diff_f(p.kd_t, p.sigma, wo, wif), 0.0)
+    wif = _flip_z(wi)
+    m = act[DIFF_T] & eff_match(fl) & same_hemisphere(wo, wif)
+    out = out + vm.where3(m, _diff_f(p.kd_t, p.sigma, wo, wif), 0.0)
     # glossy reflection
     fl = SLOT_FLAGS[GLOSS_R]
-    m = act[GLOSS_R] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wi)
-    out += jnp.where(m[..., None], _gloss_f(p, p.ks, wo, wi), 0.0)
+    m = act[GLOSS_R] & eff_match(fl) & same_hemisphere(wo, wi)
+    out = out + vm.where3(m, _gloss_f(p, p.ks, wo, wi), 0.0)
     # glossy transmission
     fl = SLOT_FLAGS[GLOSS_T]
-    m = act[GLOSS_T] & ((eff_flags & fl) == fl) & same_hemisphere(wo, wif)
-    out += jnp.where(m[..., None], _gloss_f(p, p.ks_t, wo, wif), 0.0)
+    m = act[GLOSS_T] & eff_match(fl) & same_hemisphere(wo, wif)
+    out = out + vm.where3(m, _gloss_f(p, p.ks_t, wo, wif), 0.0)
     return out
 
 
-def pdf(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
+def pdf(p: BSDFParams, frame: Frame, wo_w: V3, wi_w: V3, flags: int = ALL):
     """Average pdf over matching lobes (bsdf.dart pdf :158-176)."""
     wo = frame.to_local(wo_w)
     wi = frame.to_local(wi_w)
     act = _slot_active(p, flags)
-    n_match = jnp.sum(act.astype(jnp.float32), axis=0)
-    total = jnp.zeros(wo.shape[:-1], jnp.float32)
+    n_match = sum(a.astype(jnp.float32) for a in act)
+    total = jnp.zeros(jnp.shape(wo.z), jnp.float32)
     # diffuse lobes: cosine-hemisphere pdf on their side
     pd = smp.cosine_hemisphere_pdf(abs_cos_theta(wi))
     total += jnp.where(act[DIFF_R] & same_hemisphere(wo, wi), pd, 0.0)
     total += jnp.where(act[DIFF_T] & ~same_hemisphere(wo, wi), pd, 0.0)
     pg = _aniso_pdf(p.exponent, _ey(p), wo, wi)
     total += jnp.where(act[GLOSS_R], pg, 0.0)
-    wif = wi * jnp.asarray([1.0, 1.0, -1.0])
+    wif = _flip_z(wi)
     pgt = _aniso_pdf(p.exponent, _ey(p), wo, wif)
     total += jnp.where(act[GLOSS_T], pgt, 0.0)
     # specular lobes contribute 0 to pdf but count in the average
@@ -447,14 +465,14 @@ def pdf(p: BSDFParams, frame: Frame, wo_w, wi_w, flags: int = ALL):
 
 
 class BSDFSample(NamedTuple):
-    wi: jnp.ndarray       # world-space sampled direction
-    f: jnp.ndarray        # (R, 3) BSDF value (NOT divided by pdf)
+    wi: V3                # world-space sampled direction
+    f: V3                 # BSDF value (NOT divided by pdf)
     pdf: jnp.ndarray      # (R,)
     flags: jnp.ndarray    # (R,) int32 sampled-lobe flags
     valid: jnp.ndarray    # (R,) bool
 
 
-def sample_f(p: BSDFParams, frame: Frame, wo_w, u2, uc,
+def sample_f(p: BSDFParams, frame: Frame, wo_w: V3, u2, uc,
              flags: int = ALL) -> BSDFSample:
     """Sample the stack (bsdf.dart sample_f :53-133).
 
@@ -462,57 +480,65 @@ def sample_f(p: BSDFParams, frame: Frame, wo_w, u2, uc,
     (specular excluded from others' pdf); for non-specular choices f is
     re-evaluated over all matching lobes with the geometric side test.
     """
+    u2 = vm.from_arr2(u2)
     wo = frame.to_local(wo_w)
-    act = _slot_active(p, flags)                       # (6, R)
-    n_match = jnp.sum(act.astype(jnp.int32), axis=0)   # (R,)
+    act = _slot_active(p, flags)                       # 6 x (R,)
+    n_match = sum(a.astype(jnp.int32) for a in act)    # (R,)
     # which = index (among matching) chosen
     which = jnp.minimum((uc * n_match.astype(jnp.float32)).astype(jnp.int32),
                         jnp.maximum(n_match - 1, 0))
-    cum = jnp.cumsum(act.astype(jnp.int32), axis=0) - act.astype(jnp.int32)
-    # chosen_slot[r] = s where act[s] and cum[s] == which
-    chosen = jnp.argmax((act & (cum == which[None, :])), axis=0)  # (R,)
+    # chosen_slot[r] = s where act[s] and (# active below s) == which
+    cum = jnp.zeros_like(n_match)
+    chosen = jnp.zeros_like(n_match)
+    found = jnp.zeros(jnp.shape(n_match), bool)
+    for s in range(N_SLOTS):
+        a = act[s]
+        hit = a & (cum == which) & ~found
+        chosen = jnp.where(hit, s, chosen)
+        found = found | hit
+        cum = cum + a.astype(jnp.int32)
 
     # candidate wi per slot family
     wi_dr = smp.cosine_sample_hemisphere(u2)
-    wi_dr = jnp.where((wo[..., 2] < 0)[..., None], wi_dr * jnp.asarray(
-        [1.0, 1.0, -1.0]), wi_dr)
-    wi_dt = wi_dr * jnp.asarray([1.0, 1.0, -1.0])
+    wi_dr = vm.where3(wo.z < 0, _flip_z(wi_dr), wi_dr)
+    wi_dt = _flip_z(wi_dr)
     wh = _aniso_sample_wh(p.exponent, _ey(p), u2)
-    wh = jnp.where((wo[..., 2] < 0)[..., None],
-                   wh * jnp.asarray([1.0, 1.0, -1.0]), wh)
-    wi_gr = -wo + wh * (2.0 * vm.dot(wo, wh))[..., None]
-    wi_gt = wi_gr * jnp.asarray([1.0, 1.0, -1.0])
-    wi_sr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    wh = vm.where3(wo.z < 0, _flip_z(wh), wh)
+    wi_gr = -wo + wh * (2.0 * vm.dot(wo, wh))
+    wi_gt = _flip_z(wi_gr)
+    wi_sr = V3(-wo.x, -wo.y, wo.z)
     wi_st, st_valid, ei, et = refract(wo, p.eta)
 
-    wi = jnp.where((chosen == DIFF_R)[..., None], wi_dr,
-        jnp.where((chosen == DIFF_T)[..., None], wi_dt,
-        jnp.where((chosen == GLOSS_R)[..., None], wi_gr,
-        jnp.where((chosen == GLOSS_T)[..., None], wi_gt,
-        jnp.where((chosen == SPEC_R)[..., None], wi_sr, wi_st)))))
+    wi = vm.where3(chosen == DIFF_R, wi_dr,
+         vm.where3(chosen == DIFF_T, wi_dt,
+         vm.where3(chosen == GLOSS_R, wi_gr,
+         vm.where3(chosen == GLOSS_T, wi_gt,
+         vm.where3(chosen == SPEC_R, wi_sr, wi_st)))))
 
     is_spec = (chosen == SPEC_R) | (chosen == SPEC_T)
     wi_w = frame.to_world(wi)
 
     # --- specular f/pdf (delta): f/|cos|, pdf = 1 (per chosen lobe) -------
     acx = jnp.maximum(abs_cos_theta(wi), 1e-8)
-    fr_d = fr_dielectric(cos_theta(wo), p.eta)[..., None]
+    fr_d = fr_dielectric(cos_theta(wo), p.eta)
+    fr_d3 = V3(fr_d, fr_d, fr_d)
     fr_c = fr_conductor(cos_theta(wo), p.eta_c, p.k_c)
-    fr_sel = jnp.where((p.spec_fresnel == FR_DIELECTRIC)[..., None], fr_d,
-                       jnp.where((p.spec_fresnel == FR_CONDUCTOR)[..., None],
-                                 fr_c, jnp.ones_like(fr_d)))
-    f_sr = p.kr * fr_sel / acx[..., None]
+    ones = jnp.ones_like(fr_d)
+    fr_sel = vm.where3(p.spec_fresnel == FR_DIELECTRIC, fr_d3,
+                       vm.where3(p.spec_fresnel == FR_CONDUCTOR, fr_c,
+                                 V3(ones, ones, ones)))
+    inv_acx = 1.0 / acx
+    f_sr = p.kr * fr_sel * inv_acx
     # transmission: (1-F) * kt * (ei^2/et^2) / |cos|
-    f_st = p.kt * (1.0 - fr_dielectric(cos_theta(wo), p.eta))[..., None] \
-        * ((ei * ei) / (et * et))[..., None] / acx[..., None]
-    f_st = jnp.where(st_valid[..., None], f_st, 0.0)
-    f_spec = jnp.where((chosen == SPEC_R)[..., None], f_sr, f_st)
+    f_st = p.kt * ((1.0 - fr_d) * (ei * ei) / (et * et) * inv_acx)
+    f_st = vm.where3(st_valid, f_st, 0.0)
+    f_spec = vm.where3(chosen == SPEC_R, f_sr, f_st)
 
     # --- non-specular combined f and averaged pdf -------------------------
     f_ns = f(p, frame, wo_w, wi_w, flags)
     pdf_ns = pdf(p, frame, wo_w, wi_w, flags)
 
-    out_f = jnp.where(is_spec[..., None], f_spec, f_ns)
+    out_f = vm.where3(is_spec, f_spec, f_ns)
     out_pdf = jnp.where(is_spec,
                         1.0 / jnp.maximum(n_match.astype(jnp.float32), 1.0),
                         pdf_ns)
@@ -524,4 +550,4 @@ def sample_f(p: BSDFParams, frame: Frame, wo_w, u2, uc,
 
 
 def slot_count(p: BSDFParams, flags: int = ALL):
-    return jnp.sum(_slot_active(p, flags).astype(jnp.int32), axis=0)
+    return sum(a.astype(jnp.int32) for a in _slot_active(p, flags))

@@ -27,8 +27,8 @@ ENVIRONMENT = 2
 class CameraSamples(NamedTuple):
     """SoA camera samples (core/camera_sample.dart): continuous image position
     (image_x/y include the +0.5-style jitter already), lens uv, time u."""
-    image_xy: jnp.ndarray   # (R, 2) raster coords
-    lens_uv: jnp.ndarray    # (R, 2)
+    image_xy: "vm.V2"       # raster coords (component SoA)
+    lens_uv: "vm.V2"
     time_u: jnp.ndarray     # (R,)
 
 
@@ -130,61 +130,67 @@ def environment(cam2world: tr.Transform, width: int, height: int,
 class RayDiffs(NamedTuple):
     """Ray differentials: camera-space direction/origin deltas for the +1px
     x/y rays, world space, pre-scaled by 1/sqrt(spp)
-    (sampler_renderer.dart:166)."""
-    rx_o: jnp.ndarray
-    rx_d: jnp.ndarray
-    ry_o: jnp.ndarray
-    ry_d: jnp.ndarray
+    (sampler_renderer.dart:166). All fields V3."""
+    rx_o: "vm.V3"
+    rx_d: "vm.V3"
+    ry_o: "vm.V3"
+    ry_d: "vm.V3"
 
 
 def generate_rays(cam: Camera, samples: CameraSamples, width: int,
                   height: int, diff_scale: float = 1.0):
-    """CameraSamples -> (Rays, RayDiffs, weight). Everything vectorized.
+    """CameraSamples -> (Rays, RayDiffs, weight). Everything vectorized,
+    component-SoA (V3) end-to-end.
 
     Perspective: pbrt generateRayDifferential semantics; DoF via
     ConcentricSampleDisk on the lens (perspective_camera.dart:70-85).
     """
-    r = samples.image_xy.shape[0]
+    img = vm.from_arr2(samples.image_xy)
+    r = jnp.shape(img.x)[0]
     time = vm.lerp(samples.time_u, cam.shutter_open, cam.shutter_close)
+    c2w = cam.cam2world.m            # (4, 4)
+    xf_p = lambda p: vm.xform_point3(c2w, p)
+    xf_v = lambda v: vm.xform_vector3(c2w, v)
     if cam.kind == ENVIRONMENT:
-        theta = np.pi * samples.image_xy[:, 1] / height
-        phi = 2.0 * np.pi * samples.image_xy[:, 0] / width
-        d = jnp.stack([jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta),
-                       jnp.sin(theta) * jnp.sin(phi)], axis=-1)
-        o = jnp.zeros((r, 3), jnp.float32)
+        theta = np.pi * img.y / height
+        phi = 2.0 * np.pi * img.x / width
+        d = vm.V3(jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta),
+                  jnp.sin(theta) * jnp.sin(phi))
+        o = vm.v3zeros((r,))
         # differentials: neighboring-pixel directions
-        theta_y = np.pi * (samples.image_xy[:, 1] + 1.0) / height
-        phi_x = 2.0 * np.pi * (samples.image_xy[:, 0] + 1.0) / width
-        dx = jnp.stack([jnp.sin(theta) * jnp.cos(phi_x), jnp.cos(theta),
-                        jnp.sin(theta) * jnp.sin(phi_x)], axis=-1)
-        dy = jnp.stack([jnp.sin(theta_y) * jnp.cos(phi), jnp.cos(theta_y),
-                        jnp.sin(theta_y) * jnp.sin(phi)], axis=-1)
-        o_w = cam.cam2world.xform_point(o)
-        d_w = cam.cam2world.xform_vector(d)
+        theta_y = np.pi * (img.y + 1.0) / height
+        phi_x = 2.0 * np.pi * (img.x + 1.0) / width
+        dx = vm.V3(jnp.sin(theta) * jnp.cos(phi_x), jnp.cos(theta),
+                   jnp.sin(theta) * jnp.sin(phi_x))
+        dy = vm.V3(jnp.sin(theta_y) * jnp.cos(phi), jnp.cos(theta_y),
+                   jnp.sin(theta_y) * jnp.sin(phi))
+        o_w = xf_p(o)
+        d_w = xf_v(d)
         rays = vm.make_rays(o_w, d_w, tmin=jnp.zeros((r,), jnp.float32),
                             time=time)
-        diffs = RayDiffs(o_w, cam.cam2world.xform_vector(dx) * diff_scale
-                         + d_w * (1 - diff_scale),
-                         o_w, cam.cam2world.xform_vector(dy) * diff_scale
-                         + d_w * (1 - diff_scale))
+        diffs = RayDiffs(o_w, xf_v(dx) * diff_scale + d_w * (1 - diff_scale),
+                         o_w, xf_v(dy) * diff_scale + d_w * (1 - diff_scale))
         return rays, diffs, jnp.ones((r,), jnp.float32)
 
-    # projective cameras: raster -> camera
-    p_raster = jnp.concatenate(
-        [samples.image_xy, jnp.zeros((r, 1), jnp.float32),
-         jnp.ones((r, 1), jnp.float32)], axis=-1)
-    p_cam_h = p_raster @ cam.raster2camera.T
-    p_cam = p_cam_h[:, :3] / p_cam_h[:, 3:4]
+    # projective cameras: raster -> camera (homogeneous, z=0 plane)
+    m = cam.raster2camera
+    hx = m[0, 0] * img.x + m[0, 1] * img.y + m[0, 3]
+    hy = m[1, 0] * img.x + m[1, 1] * img.y + m[1, 3]
+    hz = m[2, 0] * img.x + m[2, 1] * img.y + m[2, 3]
+    hw = m[3, 0] * img.x + m[3, 1] * img.y + m[3, 3]
+    inv_w = 1.0 / hw
+    p_cam = vm.V3(hx * inv_w, hy * inv_w, hz * inv_w)
 
     if cam.kind == PERSPECTIVE:
-        o = jnp.zeros((r, 3), jnp.float32)
+        o = vm.v3zeros((r,))
         d = vm.normalize(p_cam)
-        dx_dir = vm.normalize(p_cam + cam.dx_camera)
-        dy_dir = vm.normalize(p_cam + cam.dy_camera)
+        dxc, dyc = cam.dx_camera, cam.dy_camera
+        dx_dir = vm.normalize(p_cam + vm.V3(dxc[0], dxc[1], dxc[2]))
+        dy_dir = vm.normalize(p_cam + vm.V3(dyc[0], dyc[1], dyc[2]))
     else:  # ORTHOGRAPHIC
         o = p_cam
-        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
-                             (r, 3))
+        zf = jnp.zeros((r,), jnp.float32)
+        d = vm.V3(zf, zf, jnp.ones((r,), jnp.float32))
         dx_dir = d
         dy_dir = d
 
@@ -193,25 +199,23 @@ def generate_rays(cam: Camera, samples: CameraSamples, width: int,
 
     def with_dof(o, d):
         lx, ly = smp.concentric_sample_disk(samples.lens_uv)
-        lens = jnp.stack([lx * lr, ly * lr], axis=-1)
-        ft = cam.focal_distance / jnp.maximum(jnp.abs(d[:, 2]), 1e-12)
-        p_focus = o + d * ft[:, None]
-        o2 = o + jnp.concatenate([lens, jnp.zeros((r, 1), jnp.float32)],
-                                 axis=-1)
+        ft = cam.focal_distance / jnp.maximum(jnp.abs(d.z), 1e-12)
+        p_focus = o + d * ft
+        o2 = o + vm.V3(lx * lr, ly * lr, jnp.zeros((r,), jnp.float32))
         d2 = vm.normalize(p_focus - o2)
         return o2, d2
 
     # lens_radius is a traced scalar; evaluate both and select (cheap).
     o_dof, d_dof = with_dof(o, d)
     sel = (lr > 0.0)
-    o = jnp.where(sel, o_dof, o)
-    d = jnp.where(sel, d_dof, d)
+    o = vm.where3(sel, o_dof, o)
+    d = vm.where3(sel, d_dof, d)
 
-    o_w = cam.cam2world.xform_point(o)
-    d_w = cam.cam2world.xform_vector(d)
+    o_w = xf_p(o)
+    d_w = xf_v(d)
     rays = vm.make_rays(o_w, d_w, time=time)
-    rx_d = cam.cam2world.xform_vector(dx_dir)
-    ry_d = cam.cam2world.xform_vector(dy_dir)
+    rx_d = xf_v(dx_dir)
+    ry_d = xf_v(dy_dir)
     # scaled differentials: d + scale*(d_offset - d) (sampler_renderer.dart:166)
     diffs = RayDiffs(o_w, d_w + (rx_d - d_w) * diff_scale,
                      o_w, d_w + (ry_d - d_w) * diff_scale)

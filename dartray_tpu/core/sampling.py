@@ -130,9 +130,14 @@ def sobol2(n: jnp.ndarray, scramble) -> jnp.ndarray:
 def sample02(n: jnp.ndarray, scramble2):
     """(0,2)-sequence 2D sample (montecarlo.dart Sample02).
 
-    scramble2: (..., 2) uint32. Returns (..., 2) float32."""
-    return jnp.stack([van_der_corput(n, scramble2[..., 0]),
-                      sobol2(n, scramble2[..., 1])], axis=-1)
+    scramble2: pair (s0, s1) of uint32 arrays, or a (..., 2) uint32 array.
+    Returns V2 float32."""
+    from . import math as vm
+    if isinstance(scramble2, (tuple, list, vm.V2)):
+        s0, s1 = scramble2[0], scramble2[1]
+    else:
+        s0, s1 = scramble2[..., 0], scramble2[..., 1]
+    return vm.V2(van_der_corput(n, s0), sobol2(n, s1))
 
 
 def ld_shuffle_scrambled_1d(n_samples_log2_rounded: int):
@@ -195,20 +200,30 @@ def halton_permutations(n_dims: int, seed: int = 0):
 
 
 # --- Geometric sampling transforms (montecarlo.dart:100-221) --------------
+# Directions return component-SoA V3; 2D samples accept V2 or (..., 2).
+
+def _u2(u):
+    from . import math as vm
+    return vm.from_arr2(u)
+
 
 def uniform_sample_hemisphere(u):
-    """u: (..., 2) -> direction (..., 3), pdf = 1/(2pi)."""
-    z = u[..., 0]
+    """2D sample -> V3 direction, pdf = 1/(2pi)."""
+    from . import math as vm
+    u = _u2(u)
+    z = u.x
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    phi = 2.0 * jnp.pi * u.y
+    return vm.V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
 def uniform_sample_sphere(u):
-    z = 1.0 - 2.0 * u[..., 0]
+    from . import math as vm
+    u = _u2(u)
+    z = 1.0 - 2.0 * u.x
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    phi = 2.0 * jnp.pi * u.y
+    return vm.V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
 UNIFORM_SPHERE_PDF = float(1.0 / (4.0 * np.pi))
@@ -216,16 +231,18 @@ UNIFORM_HEMISPHERE_PDF = float(1.0 / (2.0 * np.pi))
 
 
 def uniform_sample_disk(u):
-    r = jnp.sqrt(u[..., 0])
-    theta = 2.0 * jnp.pi * u[..., 1]
+    u = _u2(u)
+    r = jnp.sqrt(u.x)
+    theta = 2.0 * jnp.pi * u.y
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
 def concentric_sample_disk(u):
     """Shirley-Chiu concentric disk mapping (montecarlo.dart
     ConcentricSampleDisk), branch-free via jnp.where over the 4 wedges."""
-    sx = 2.0 * u[..., 0] - 1.0
-    sy = 2.0 * u[..., 1] - 1.0
+    u = _u2(u)
+    sx = 2.0 * u.x - 1.0
+    sy = 2.0 * u.y - 1.0
     zero = (sx == 0.0) & (sy == 0.0)
     abs_x_big = jnp.abs(sx) > jnp.abs(sy)
     r = jnp.where(abs_x_big, sx, sy)
@@ -238,10 +255,11 @@ def concentric_sample_disk(u):
 
 
 def cosine_sample_hemisphere(u):
-    """pdf = cos(theta)/pi."""
+    """pdf = cos(theta)/pi. Returns V3."""
+    from . import math as vm
     x, y = concentric_sample_disk(u)
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
-    return jnp.stack([x, y, z], axis=-1)
+    return vm.V3(x, y, z)
 
 
 def cosine_hemisphere_pdf(costheta):
@@ -250,11 +268,12 @@ def cosine_hemisphere_pdf(costheta):
 
 def uniform_sample_cone(u, cos_theta_max):
     """Sample direction in cone around +z (montecarlo.dart UniformSampleCone)."""
-    costheta = (1.0 - u[..., 0]) + u[..., 0] * cos_theta_max
+    from . import math as vm
+    u = _u2(u)
+    costheta = (1.0 - u.x) + u.x * cos_theta_max
     sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
-    phi = u[..., 1] * 2.0 * jnp.pi
-    return jnp.stack([jnp.cos(phi) * sintheta, jnp.sin(phi) * sintheta,
-                      costheta], axis=-1)
+    phi = u.y * 2.0 * jnp.pi
+    return vm.V3(jnp.cos(phi) * sintheta, jnp.sin(phi) * sintheta, costheta)
 
 
 def uniform_cone_pdf(cos_theta_max):
@@ -263,24 +282,27 @@ def uniform_cone_pdf(cos_theta_max):
 
 def uniform_sample_triangle(u):
     """Barycentric (u1, u2) sampling (montecarlo.dart UniformSampleTriangle)."""
-    su1 = jnp.sqrt(u[..., 0])
-    return 1.0 - su1, u[..., 1] * su1
+    u = _u2(u)
+    su1 = jnp.sqrt(u.x)
+    return 1.0 - su1, u.y * su1
 
 
 def sample_hg(w, u, g):
     """Henyey-Greenstein phase sampling (montecarlo.dart SampleHG).
-    w: (..., 3) outgoing; returns (..., 3)."""
+    w: V3 outgoing; returns V3."""
     from . import math as vm
+    u = _u2(u)
+    w = vm.from_arr(w)
     g = jnp.asarray(g)
     iso = jnp.abs(g) < 1e-3
     sq = (1.0 - g * g) / jnp.where(
-        jnp.abs(1.0 - g + 2.0 * g * u[..., 0]) < 1e-12, 1.0,
-        1.0 - g + 2.0 * g * u[..., 0])
+        jnp.abs(1.0 - g + 2.0 * g * u.x) < 1e-12, 1.0,
+        1.0 - g + 2.0 * g * u.x)
     costheta_hg = (1.0 + g * g - sq * sq) / jnp.where(jnp.abs(2.0 * g) < 1e-12,
                                                       1.0, 2.0 * g)
-    costheta = jnp.where(iso, 1.0 - 2.0 * u[..., 0], costheta_hg)
+    costheta = jnp.where(iso, 1.0 - 2.0 * u.x, costheta_hg)
     sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
-    phi = 2.0 * jnp.pi * u[..., 1]
+    phi = 2.0 * jnp.pi * u.y
     v1, v2 = vm.coordinate_system(w)
     return vm.spherical_direction_basis(sintheta, costheta, phi, v1, v2, w)
 

@@ -44,7 +44,10 @@ def eval_basis(w, lmax: int):
     PBRT SHEvaluate semantics (z = cos theta polar axis); static recurrence
     unrolled over l, m.
     """
-    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    if hasattr(w, "x"):
+        x, y, z = w.x, w.y, w.z
+    else:
+        x, y, z = w[..., 0], w[..., 1], w[..., 2]
     ct = jnp.clip(z, -1.0, 1.0)
     s2 = jnp.maximum(1.0 - ct * ct, 0.0)
     st = jnp.sqrt(s2)

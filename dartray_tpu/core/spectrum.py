@@ -25,26 +25,56 @@ RGB_TO_XYZ = np.array([
 CIE_Y_INTEGRAL = 106.856895  # spectrum.dart:865
 
 
+def _mat3(m, c):
+    """Apply a 3x3 constant matrix to a color: V3 -> V3 (componentwise
+    FMAs, lane-packed) or (..., 3) -> (..., 3)."""
+    from . import math as vm
+    if isinstance(c, vm.V3):
+        return vm.V3(
+            float(m[0][0]) * c.x + float(m[0][1]) * c.y + float(m[0][2]) * c.z,
+            float(m[1][0]) * c.x + float(m[1][1]) * c.y + float(m[1][2]) * c.z,
+            float(m[2][0]) * c.x + float(m[2][1]) * c.y + float(m[2][2]) * c.z)
+    return c @ jnp.asarray(m, jnp.float32).T
+
+
 def rgb_to_xyz(rgb):
-    return rgb @ jnp.asarray(RGB_TO_XYZ).T
+    return _mat3(RGB_TO_XYZ, rgb)
 
 
 def xyz_to_rgb(xyz):
-    return xyz @ jnp.asarray(XYZ_TO_RGB).T
+    return _mat3(XYZ_TO_RGB, xyz)
 
 
 def luminance(c):
     """y() of the spectrum == XYZ Y channel (rgb_color.dart luminance).
     Mode-aware: in SAMPLED mode the channels are band averages."""
-    if _mode == "sampled":
-        w = jnp.asarray(BANDS_TO_XYZ[1])
-    else:
-        w = jnp.asarray(RGB_TO_XYZ[1])
-    return c @ w
+    from . import math as vm
+    w = BANDS_TO_XYZ[1] if _mode == "sampled" else RGB_TO_XYZ[1]
+    if isinstance(c, vm.V3):
+        return float(w[0]) * c.x + float(w[1]) * c.y + float(w[2]) * c.z
+    return c @ jnp.asarray(w)
 
 
 def is_black(rgb):
+    from . import math as vm
+    if isinstance(rgb, vm.V3):
+        return (rgb.x == 0.0) & (rgb.y == 0.0) & (rgb.z == 0.0)
     return jnp.all(rgb == 0.0, axis=-1)
+
+
+def any_nonzero(c):
+    """True where any channel is nonzero (jnp.any(c != 0, -1) analog)."""
+    from . import math as vm
+    if isinstance(c, vm.V3):
+        return (c.x != 0.0) | (c.y != 0.0) | (c.z != 0.0)
+    return jnp.any(c != 0.0, axis=-1)
+
+
+def all_finite(c):
+    from . import math as vm
+    if isinstance(c, vm.V3):
+        return (jnp.isfinite(c.x) & jnp.isfinite(c.y) & jnp.isfinite(c.z))
+    return jnp.all(jnp.isfinite(c), axis=-1)
 
 
 def blackbody(wavelengths_nm, temperature):
@@ -85,9 +115,14 @@ def spd_to_rgb(lambdas, values, illuminant=False):
     """Piecewise-linear SPD -> RGB (spectrum.dart fromSampled semantics).
 
     Resamples the SPD on a 5nm grid, integrates against the CIE observer,
-    normalizes (by CIE_Y_INTEGRAL for illuminants; reflectances normalize so
-    that a constant-1 SPD maps to RGB(1,1,1)).
+    and normalizes by the CIE-Y integral. In the reference's RGB mode this
+    normalization is the SAME for reflectances and illuminants
+    (rgb_color.dart:61-92 setSampled always divides by yint; the
+    SPECTRUM_REFLECTANCE/ILLUMINANT distinction only affects the RGB ->
+    spectrum direction, see rgb_to_bands) — `illuminant` is accepted for
+    API symmetry and intentionally has no effect here.
     """
+    del illuminant  # no-op in RGB mode, matching rgb_color.dart setSampled
     lambdas = np.asarray(lambdas, np.float64)
     values = np.asarray(values, np.float64)
     order = np.argsort(lambdas)
@@ -95,10 +130,7 @@ def spd_to_rgb(lambdas, values, illuminant=False):
     v = np.interp(_CIE_LAMBDA, lambdas, values)
     cmf = cie_xyz_fit(_CIE_LAMBDA)
     xyz = (v[:, None] * cmf).sum(axis=0) * 5.0
-    if illuminant:
-        xyz /= (cmf[:, 1].sum() * 5.0)
-    else:
-        xyz /= (cmf[:, 1].sum() * 5.0)
+    xyz /= (cmf[:, 1].sum() * 5.0)
     rgb = XYZ_TO_RGB.astype(np.float64) @ xyz
     return jnp.asarray(rgb, jnp.float32)
 
@@ -109,10 +141,12 @@ def spd_to_rgb(lambdas, values, illuminant=False):
 # TPU redesign: the channel dimension of every radiometric array becomes
 # N_BANDS spectral band averages instead of RGB primaries, so the ENTIRE
 # wavefront pipeline transports per-wavelength-band radiance with zero
-# added cost — the (..., 3) arrays are reinterpreted, not widened. DartRay's
-# SampledSpectrum.NUM_SAMPLES is 4; here NUM_SAMPLES = 3 so the band
-# dimension rides the existing 3-lane color layout (a quality knob, same
-# algorithm). Transport multiplies per-band (physically meaningful for
+# added cost — the 3-channel arrays are reinterpreted, not widened. DartRay's
+# SampledSpectrum.NUM_SAMPLES is 4; here N_BANDS is FIXED at 3 so the band
+# dimension rides the existing 3-channel color layout — a deliberate
+# fidelity trade (one band fewer than the reference), not a configurable
+# knob: every color table in the pipeline is 3-channel.
+# Transport multiplies per-band (physically meaningful for
 # metal eta/k and peaky illuminants, unlike RGB-primaries products); bands
 # convert to XYZ only at film accumulation.
 
@@ -165,17 +199,47 @@ def spd_to_bands(lambdas, values, illuminant=False):
     return jnp.asarray(out, jnp.float32)
 
 
-def rgb_to_bands(rgb):
+def _d65_bands():
+    """CIE D65 illuminant band averages, normalized to luminance 1 (host).
+    Compact D65 relative SPD at 20nm from 400-700nm (public CIE data)."""
+    lam = np.arange(400.0, 701.0, 20.0)
+    d65 = np.array([82.75, 93.43, 104.86, 117.01, 115.92, 114.86, 108.81,
+                    104.79, 107.69, 104.41, 104.05, 100.00, 96.33, 95.79,
+                    88.69, 90.01], np.float64)
+    out = np.zeros(N_BANDS)
+    for b in range(N_BANDS):
+        sel = (lam >= BAND_EDGES[b]) & (lam < BAND_EDGES[b + 1])
+        out[b] = d65[sel].mean()
+    y = float(BANDS_TO_XYZ[1] @ out)
+    return (out / max(y, 1e-12)).astype(np.float32)
+
+
+_D65_BANDS = _d65_bands()
+# illuminant RGB -> bands: white maps to the D65 band shape (the 3-band
+# analog of sampled_spectrum.dart:181-210's illuminant basis set), XYZ
+# preserved exactly: M = diag(d65) @ inv(BANDS_TO_XYZ @ diag(d65)) @ RGB2XYZ
+_XYZ_TO_BANDS_ILLUM = (np.diag(_D65_BANDS)
+                       @ np.linalg.inv(BANDS_TO_XYZ @ np.diag(_D65_BANDS))
+                       ).astype(np.float32)
+
+
+def rgb_to_bands(rgb, illuminant=False):
     """RGB -> 3-band spectrum with the same XYZ (a Smits-style basis
-    reduced to N_BANDS; exact in color, clamped nonneg in energy)."""
+    reduced to N_BANDS; exact in color, clamped nonneg in energy).
+
+    illuminant=True uses the D65-shaped basis — the reference converts
+    illuminant RGB through a different basis set than reflectance RGB
+    (sampled_spectrum.dart:142-210): a white ILLUMINANT has the D65 band
+    shape while a white REFLECTANCE is a flat spectrum."""
     arr = np.asarray(rgb, np.float32)
     xyz = arr @ RGB_TO_XYZ.T
-    return np.maximum(xyz @ _XYZ_TO_BANDS.T, 0.0)
+    basis = _XYZ_TO_BANDS_ILLUM if illuminant else _XYZ_TO_BANDS
+    return np.maximum(xyz @ basis.T, 0.0)
 
 
 def to_xyz(c):
     """Radiance channels -> XYZ under the current global mode (the film
     accumulation conversion, image_film.dart:99-185)."""
     if _mode == "sampled":
-        return c @ jnp.asarray(BANDS_TO_XYZ).T
+        return _mat3(BANDS_TO_XYZ, c)
     return rgb_to_xyz(c)

@@ -122,42 +122,50 @@ def make_film(width, height, filter_name="box", filter_params=None,
                 xwidth=xw, ywidth=yw, x0=x0, y0=y0)
 
 
-def add_samples(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
-                mask=None) -> Film:
+def add_samples(film: Film, image_xy, L_rgb, mask=None) -> Film:
     """Deposit a wavefront of radiance samples (image_film.dart:99-185).
 
-    image_xy: (R, 2) continuous raster coords (film-local); L: (R, 3) RGB.
-    XYZ accumulation with filter weights from the table, discrete-continuous
-    offset dimage = sample - 0.5 (:101-102). NaN/negative/inf samples are
-    zeroed (sampler_renderer.dart:181-193 invariant).
+    image_xy: V2 (or (R, 2)) continuous raster coords (film-local); L: V3
+    (or (R, 3)) RGB. XYZ accumulation with filter weights from the table,
+    discrete-continuous offset dimage = sample - 0.5 (:101-102).
+    NaN/negative/inf samples are zeroed (sampler_renderer.dart:181-193
+    invariant). All math is component-SoA; the single (R, 4) stack happens
+    at the scatter boundary.
     """
-    finite = jnp.all(jnp.isfinite(L_rgb), axis=-1)
-    lum = spec.luminance(L_rgb)
+    from .core import math as vm
+    xy = vm.from_arr2(image_xy)
+    L = vm.from_arr(L_rgb)
+    finite = spec.all_finite(L)
+    lum = spec.luminance(L)
     ok = finite & (lum > -1e-5) & jnp.isfinite(lum)
     if mask is not None:
         ok = ok & mask
-    L_rgb = jnp.where(ok[:, None], L_rgb, 0.0)
+    L = vm.where3(ok, L, 0.0)
     w_ok = ok.astype(jnp.float32)
-    xyz = spec.to_xyz(L_rgb)
+    xyz = spec.to_xyz(L)
 
-    dx = image_xy[:, 0] - 0.5 - film.x0
-    dy = image_xy[:, 1] - 0.5 - film.y0
+    dx = xy.x - 0.5 - film.x0
+    dy = xy.y - 0.5 - film.y0
+
+    def deposit(pixels, ix, iy, w):
+        ixc = jnp.clip(ix, 0, film.width - 1)
+        iyc = jnp.clip(iy, 0, film.height - 1)
+        contrib = jnp.stack([xyz.x * w, xyz.y * w, xyz.z * w, w], axis=-1)
+        return pixels.at[iyc, ixc].add(contrib)
+
     # FAST PATH, box filter <= 0.5: the footprint is exactly the owning
     # pixel -> ONE scatter-add instead of four (a 262k-wave deposit measured
     # 46 ms -> ~11 ms on the v5e; the only deviation from the slow path is
     # the measure-zero case of a sample exactly on a pixel boundary, which
     # the reference deposits to both neighbors)
     if film.xwidth <= 0.5 and film.ywidth <= 0.5:
-        ix = jnp.floor(image_xy[:, 0] - film.x0).astype(jnp.int32)
-        iy = jnp.floor(image_xy[:, 1] - film.y0).astype(jnp.int32)
+        ix = jnp.floor(xy.x - film.x0).astype(jnp.int32)
+        iy = jnp.floor(xy.y - film.y0).astype(jnp.int32)
         in_img = ((ix >= 0) & (ix < film.width)
                   & (iy >= 0) & (iy < film.height))
         w = jnp.where(in_img, 1.0, 0.0) * w_ok
-        contrib = jnp.concatenate([xyz * w[:, None], w[:, None]], axis=-1)
-        ixc = jnp.clip(ix, 0, film.width - 1)
-        iyc = jnp.clip(iy, 0, film.height - 1)
-        pixels = film.pixels.at[iyc, ixc].add(contrib)
-        return dataclasses.replace(film, pixels=pixels)
+        return dataclasses.replace(film, pixels=deposit(film.pixels, ix,
+                                                        iy, w))
     # static footprint loop over the filter support [dx-w, dx+w]
     # (image_film.dart:120-141: x0 = ceil(dx - w), x1 = floor(dx + w))
     ext_x = int(np.floor(2.0 * film.xwidth)) + 1
@@ -184,30 +192,27 @@ def add_samples(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
             in_img = ((ix >= 0) & (ix < film.width)
                       & (iy >= 0) & (iy < film.height))
             w = jnp.where(in_support & in_img, fw, 0.0) * w_ok
-            contrib = jnp.concatenate([xyz * w[:, None], w[:, None]], axis=-1)
-            ixc = jnp.clip(ix, 0, film.width - 1)
-            iyc = jnp.clip(iy, 0, film.height - 1)
-            pixels = pixels.at[iyc, ixc].add(contrib)
+            pixels = deposit(pixels, ix, iy, w)
     return dataclasses.replace(film, pixels=pixels)
 
 
-def splat(film: Film, image_xy: jnp.ndarray, L_rgb: jnp.ndarray,
-          mask=None) -> Film:
+def splat(film: Film, image_xy, L_rgb, mask=None) -> Film:
     """Unweighted splat accumulation for MLT (image_film.dart:187-245)."""
-    finite = jnp.all(jnp.isfinite(L_rgb), axis=-1)
+    from .core import math as vm
+    xy = vm.from_arr2(image_xy)
+    L = vm.from_arr(L_rgb)
+    finite = spec.all_finite(L)
     if mask is not None:
         finite = finite & mask
-    xyz = spec.to_xyz(jnp.where(finite[:, None], L_rgb, 0.0))
-    ix = jnp.clip((image_xy[:, 0] - film.x0).astype(jnp.int32), 0,
-                  film.width - 1)
-    iy = jnp.clip((image_xy[:, 1] - film.y0).astype(jnp.int32), 0,
-                  film.height - 1)
-    inb = (((image_xy[:, 0] - film.x0) >= 0)
-           & ((image_xy[:, 0] - film.x0) < film.width)
-           & ((image_xy[:, 1] - film.y0) >= 0)
-           & ((image_xy[:, 1] - film.y0) < film.height))
-    xyz = jnp.where(inb[:, None], xyz, 0.0)
-    return dataclasses.replace(film, splat=film.splat.at[iy, ix].add(xyz))
+    xyz = spec.to_xyz(vm.where3(finite, L, 0.0))
+    fx = xy.x - film.x0
+    fy = xy.y - film.y0
+    ix = jnp.clip(fx.astype(jnp.int32), 0, film.width - 1)
+    iy = jnp.clip(fy.astype(jnp.int32), 0, film.height - 1)
+    inb = ((fx >= 0) & (fx < film.width) & (fy >= 0) & (fy < film.height))
+    xyz = vm.where3(inb, xyz, 0.0)
+    contrib = jnp.stack([xyz.x, xyz.y, xyz.z], axis=-1)
+    return dataclasses.replace(film, splat=film.splat.at[iy, ix].add(contrib))
 
 
 def save_checkpoint(path, film: Film, next_s: int):

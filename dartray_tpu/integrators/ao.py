@@ -40,19 +40,19 @@ def li(ig: AOIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
     hit = hits.hit
     n = vm.face_forward(it["ns"], it["wo"])
     p = it["p"]
-    r = rays.o.shape[0]
+    r = rays.n
     # per-(pixel, camera-sample) scramble, matching the reference's per-Li
     # rng.randomUint() scrambles driving Sample02
     base = smp.hash_u32(sctx["px"].astype(U32)
                         ^ (sctx["py"].astype(U32) << 16)
                         ^ smp.hash_u32(sctx["s_idx"].astype(U32)))
-    scr = jnp.stack([smp.hash_u32(base ^ U32(0x1234567)),
-                     smp.hash_u32(base ^ U32(0x89abcdef))], axis=-1)
+    scr = (smp.hash_u32(base ^ U32(0x1234567)),
+           smp.hash_u32(base ^ U32(0x89abcdef)))
     eps = st.ray_epsilon(it["t"])
     # offset on the probe-hemisphere side of the surface (ng may face away
     # from the shading hemisphere for back-lit/unoriented geometry)
     ng_f = vm.face_forward(it["ng"], n)
-    o = p + ng_f * eps[:, None]
+    o = p + ng_f * eps
 
     def body(i, n_clear):
         u = smp.sample02(jnp.full((r,), i, U32), scr)
@@ -68,6 +68,4 @@ def li(ig: AOIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
     n_clear = jax.lax.fori_loop(0, ig.n_samples, body,
                                 jnp.zeros((r,), jnp.float32))
     ao = n_clear / ig.n_samples
-    L = jnp.where(hit[:, None], ao[:, None] * jnp.ones((1, 3), jnp.float32),
-                  0.0)
-    return L
+    return vm.where3(hit, vm.V3(ao, ao, ao), 0.0)

@@ -4,7 +4,8 @@ TPU-native replacement for lib/core/integrator.dart:32-303 —
 UniformSampleAllLights (:39-77), UniformSampleOneLight (:79-117),
 EstimateDirect (:119-185, the single most reused shading routine), and the
 specular-recursion helpers. All functions operate on whole wavefronts with
-per-ray masks; shadow rays are full any-hit traversal waves.
+per-ray masks; shadow rays are full any-hit traversal waves. All vectors and
+colors are component-SoA (vm.V3).
 """
 from __future__ import annotations
 
@@ -16,6 +17,7 @@ from .. import lights as lt_mod
 from ..accel import traverse
 from ..core import math as vm
 from ..core import sampling as smp
+from ..core import spectrum as spec
 from ..scene import types as st
 
 
@@ -23,7 +25,7 @@ def shadow_ray(p, ng, n_side, wi, dist, eps, time=None):
     """Offset shadow ray (VisibilityTester.setSegment semantics); `time`
     carries the surface ray's shutter time (motion-blur occlusion)."""
     ng_f = vm.face_forward(ng, wi)
-    o = p + ng_f * eps[:, None]
+    o = p + ng_f * eps
     return vm.Rays(o=o, d=wi,
                    tmin=jnp.zeros_like(dist),
                    tmax=dist * (1.0 - 1e-3) - eps,
@@ -34,7 +36,7 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
                     u_light, uc_light, u_bsdf, uc_bsdf,
                     flags=bx.ALL & ~bx.SPECULAR):
     """MIS light+BSDF sampling toward one light (integrator.dart:119-185,
-    Appendix A.3). Returns (R, 3) direct radiance estimate."""
+    Appendix A.3). Returns V3 direct radiance estimate."""
     geom = scene.geometry
     lt = scene.lights
     p = it["p"]
@@ -45,8 +47,7 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     ls = lt_mod.sample_li(lt, geom, light_idx, p, u_light, uc_light)
     f_l = bx.f(params, frame, wo, ls.wi, flags)
     cos_l = vm.absdot(ls.wi, ns)
-    usable = (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
-        & jnp.any(f_l != 0.0, axis=-1)
+    usable = (ls.pdf > 0.0) & spec.any_nonzero(ls.li) & spec.any_nonzero(f_l)
     sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps,
                       time=it.get("time"))
     occluded = st.intersect_p(geom, sray)
@@ -54,18 +55,18 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
     w_l = jnp.where(ls.is_delta, 1.0,
                     smp.power_heuristic(1.0, ls.pdf, 1.0, bsdf_pdf))
-    contrib_l = f_l * ls.li * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))[:, None]
-    ld = jnp.where((usable & ~occluded)[:, None], contrib_l, 0.0)
+    contrib_l = f_l * ls.li * (cos_l * w_l / jnp.maximum(ls.pdf, 1e-20))
+    ld = vm.where3(usable & ~occluded, contrib_l, 0.0)
 
     # ---- BSDF-sampling term (non-delta lights only) ----------------------
     bs = bx.sample_f(params, frame, wo, u_bsdf, uc_bsdf, flags)
     cos_b = vm.absdot(bs.wi, ns)
     sampled_specular = (bs.flags & bx.SPECULAR) != 0
-    b_usable = bs.valid & (bs.pdf > 0.0) & jnp.any(bs.f != 0.0, axis=-1) \
+    b_usable = bs.valid & (bs.pdf > 0.0) & spec.any_nonzero(bs.f) \
         & ~ls.is_delta
     # trace toward the light
     ng_f = vm.face_forward(it["ng"], bs.wi)
-    bray = vm.Rays(o=p + ng_f * eps[:, None], d=bs.wi,
+    bray = vm.Rays(o=p + ng_f * eps, d=bs.wi,
                    tmin=jnp.zeros_like(eps),
                    tmax=jnp.full_like(eps, lt_mod.INF_DIST),
                    time=jnp.zeros_like(eps))
@@ -74,29 +75,32 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     hit_light = jnp.where(bh.prim >= 0, geom.light_id[hit_prim], -1)
     same_light = (hit_light >= 0) & (hit_light == light_idx)
     # emitted radiance from the hit light point (facing test)
-    te1 = geom.e1[hit_prim]
-    te2 = geom.e2[hit_prim]
+    te1 = vm.gather3(geom.e1, hit_prim)
+    te2 = vm.gather3(geom.e2, hit_prim)
     n_hit = vm.normalize(vm.cross(te1, te2))
     cos_hit = vm.dot(n_hit, -bs.wi)
-    li_hit = jnp.where((same_light & (cos_hit > 0))[:, None],
-                       lt.intensity[jnp.maximum(hit_light, 0)], 0.0)
+    li_hit = vm.where3(same_light & (cos_hit > 0),
+                       lt_mod._g3(lt.intensity, jnp.maximum(hit_light, 0)),
+                       0.0)
     light_pdf_area = lt_mod.pdf_li_area(lt, light_idx, p, bs.wi, bh.t,
                                         jnp.abs(cos_hit))
     # escaped to the infinite light?
     is_env = lt.kind[jnp.maximum(light_idx, 0)] == lt_mod.INFINITE
     escaped = (bh.prim < 0) & is_env
-    li_env = lt_mod.env_le(lt, bs.wi) if lt.env_light_index >= 0 else \
-        jnp.zeros_like(li_hit)
-    env_pdf = lt_mod.env_pdf(lt, bs.wi) if lt.env_light_index >= 0 else \
-        jnp.zeros_like(bh.t)
-    li_b = jnp.where(escaped[:, None], li_env, li_hit)
+    if lt.env_light_index >= 0:
+        li_env = lt_mod.env_le(lt, bs.wi)
+        env_pdf = lt_mod.env_pdf(lt, bs.wi)
+    else:
+        li_env = vm.v3zeros(jnp.shape(bh.t))
+        env_pdf = jnp.zeros_like(bh.t)
+    li_b = vm.where3(escaped, li_env, li_hit)
     light_pdf_b = jnp.where(escaped, env_pdf,
                             jnp.where(same_light, light_pdf_area, 0.0))
     got_light = escaped | same_light
     w_b = jnp.where(sampled_specular, 1.0,
                     smp.power_heuristic(1.0, bs.pdf, 1.0, light_pdf_b))
-    contrib_b = bs.f * li_b * (cos_b * w_b / jnp.maximum(bs.pdf, 1e-20))[:, None]
-    ld = ld + jnp.where((b_usable & got_light)[:, None], contrib_b, 0.0)
+    contrib_b = bs.f * li_b * (cos_b * w_b / jnp.maximum(bs.pdf, 1e-20))
+    ld = ld + vm.where3(b_usable & got_light, contrib_b, 0.0)
     return ld
 
 
@@ -116,7 +120,7 @@ def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
     lt = scene.lights
     n_lights = lt.n
     if n_lights == 0:
-        return jnp.zeros(it["p"].shape, jnp.float32)
+        return vm.v3zeros(jnp.shape(it["t"]))
     light_idx = jnp.minimum((u_select * n_lights).astype(jnp.int32),
                             n_lights - 1)
     p = it["p"]
@@ -125,8 +129,8 @@ def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
     ls = lt_mod.sample_li(lt, geom, light_idx, p, u_light, uc_light)
     f_l = bx.f(params, frame, wo, ls.wi, flags)
     cos_l = vm.absdot(ls.wi, ns)
-    usable = mask & (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
-        & jnp.any(f_l != 0.0, axis=-1)
+    usable = mask & (ls.pdf > 0.0) & spec.any_nonzero(ls.li) \
+        & spec.any_nonzero(f_l)
     sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps,
                       time=it.get("time"))
     sray = sray._replace(tmax=jnp.where(usable, sray.tmax, -1.0))
@@ -135,9 +139,8 @@ def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
     bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
     w_l = jnp.where(ls.is_delta, 1.0,
                     smp.power_heuristic(1.0, pdf_nee, 1.0, bsdf_pdf))
-    contrib = f_l * ls.li * (cos_l * w_l
-                             / jnp.maximum(pdf_nee, 1e-20))[:, None]
-    return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
+    contrib = f_l * ls.li * (cos_l * w_l / jnp.maximum(pdf_nee, 1e-20))
+    return vm.where3(usable & ~occluded, contrib, 0.0)
 
 
 def emitter_hit_mis(scene, cur, hits, it, prev_pdf, prev_specular,
@@ -146,15 +149,15 @@ def emitter_hit_mis(scene, cur, hits, it, prev_pdf, prev_specular,
     (the BSDF-sampling half of EstimateDirect: integrator.dart:153-185,
     evaluated at the extension hit instead of with a dedicated ray).
 
-    Returns (R, 3): weighted Le for lanes whose extension ray hit an emissive
+    Returns V3: weighted Le for lanes whose extension ray hit an emissive
     prim or escaped to the infinite light. first_vertex / prev_specular lanes
     get weight 1 (delta-sampled or primary visibility)."""
     lt = scene.lights
     geom = scene.geometry
     if lt is None or lt.n == 0:
-        return jnp.zeros(cur.o.shape, jnp.float32)
+        return vm.v3zeros(jnp.shape(cur.tmin))
     n_l = float(lt.n)
-    out = jnp.zeros(cur.o.shape, jnp.float32)
+    out = vm.v3zeros(jnp.shape(cur.tmin))
     # emissive surface hit
     le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
     lid = jnp.where(hits.prim >= 0,
@@ -164,15 +167,14 @@ def emitter_hit_mis(scene, cur, hits, it, prev_pdf, prev_specular,
                                   hits.t, cos_hit) / n_l
     w_surf = jnp.where(first_vertex | prev_specular, 1.0,
                        smp.power_heuristic(1.0, prev_pdf, 1.0, pdf_area))
-    out = out + jnp.where((lid >= 0)[:, None], le * w_surf[:, None], 0.0)
+    out = out + vm.where3(lid >= 0, le * w_surf, 0.0)
     # escaped to the environment light
     if lt.env_light_index >= 0:
         le_env = lt_mod.env_le(lt, cur.d)
         pdf_env = lt_mod.env_pdf(lt, cur.d) / n_l
         w_env = jnp.where(first_vertex | prev_specular, 1.0,
                           smp.power_heuristic(1.0, prev_pdf, 1.0, pdf_env))
-        out = out + jnp.where((hits.prim < 0)[:, None],
-                              le_env * w_env[:, None], 0.0)
+        out = out + vm.where3(hits.prim < 0, le_env * w_env, 0.0)
     return out
 
 
@@ -182,7 +184,7 @@ def uniform_sample_one_light(scene, it, frame, params, wo, u_select,
     """Pick one light uniformly, scale by nLights (integrator.dart:79-117)."""
     n_lights = scene.lights.n
     if n_lights == 0:
-        return jnp.zeros(it["p"].shape, jnp.float32)
+        return vm.v3zeros(jnp.shape(it["t"]))
     light_idx = jnp.minimum((u_select * n_lights).astype(jnp.int32),
                             n_lights - 1)
     ld = estimate_direct(scene, it, frame, params, wo, light_idx,
@@ -204,7 +206,7 @@ def uniform_sample_all_lights(scene, it, frame, params, wo, sctx, dim0,
     dim, so each (light, sample) pair draws independent stratified points."""
     from .. import samplers as smp_mod
     n_lights = scene.lights.n
-    r = it["p"].shape[0]
+    r = jnp.shape(it["t"])[0]
     ns = int(n_samples_per_light)
     inv_ns = 1.0 / float(ns)
 
@@ -224,6 +226,5 @@ def uniform_sample_all_lights(scene, it, frame, params, wo, sctx, dim0,
                              u_l, uc_l, u_b, uc_b, flags)
         return total + ld * inv_ns
 
-    total = jax.lax.fori_loop(0, n_lights * ns, body,
-                              jnp.zeros((r, 3), jnp.float32))
+    total = jax.lax.fori_loop(0, n_lights * ns, body, vm.v3zeros((r,)))
     return total

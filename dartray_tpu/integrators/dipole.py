@@ -95,8 +95,8 @@ def compute_irradiances(scene, sp, n_samples: int = 4, seed: int = 9):
     geom = scene.geometry
     lt = scene.lights
     P = sp.p.shape[0]
-    p = jnp.asarray(sp.p)
-    n = jnp.asarray(sp.n)
+    p = vm.from_arr(jnp.asarray(sp.p))
+    n = vm.from_arr(jnp.asarray(sp.n))
     eps = jnp.asarray(sp.ray_eps)
     rng = np.random.default_rng(seed)
     E = jnp.zeros((P, 3), jnp.float32)
@@ -110,9 +110,8 @@ def compute_irradiances(scene, sp, n_samples: int = 4, seed: int = 9):
         sray = common.shadow_ray(p, n, n, ls.wi, ls.dist, eps)
         occ = st.intersect_p(geom, sray)
         ok = (~occ) & (ls.pdf > 0) & (cos_l > 0)
-        return E + jnp.where(ok[:, None],
-                             ls.li * (cos_l / jnp.maximum(ls.pdf, 1e-20)
-                                      )[:, None], 0.0)
+        contrib = ls.li * (cos_l / jnp.maximum(ls.pdf, 1e-20))
+        return E + vm.to_arr(vm.where3(ok, contrib, 0.0))
 
     for li_i in range(lt.n):
         for s in range(n_samples):
@@ -177,12 +176,12 @@ def li(ig: DipoleSubsurfaceIntegrator, scene: st.CompiledScene, rays, diffs,
     if sigma_prime_s is None:
         sigma_prime_s, sigma_a = (jnp.asarray(x) for x in
                                   media_params("skin1"))
-    r = rays.o.shape[0]
-    L = jnp.zeros((r, 3), jnp.float32)
+    r = rays.n
+    L = vm.v3zeros((r,))
     hits = st.intersect(geom, rays)
     hit = hits.hit
     if lt is not None and lt.env_light_index >= 0:
-        L = L + jnp.where(hit[:, None], 0.0, lt_mod.env_le(lt, rays.d))
+        L = L + vm.where3(hit, 0.0, lt_mod.env_le(lt, rays.d))
     it = st.interaction(geom, rays, hits)
     frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
     params = mat_mod.eval_params(scene.materials, it["mat_id"],
@@ -190,17 +189,18 @@ def li(ig: DipoleSubsurfaceIntegrator, scene: st.CompiledScene, rays, diffs,
     wo = it["wo"]
     # dipole term: L += Ft(eta, wo)/pi * Mo(p) (the single-scatter +
     # multiple-scatter diffusion approximation)
-    mo_v = mo(ip, it["p"], sigma_prime_s * ig.scale, sigma_a * ig.scale,
-              ig.eta)
+    mo_v = vm.from_arr(mo(ip, vm.to_arr(it["p"]),
+                          sigma_prime_s * ig.scale, sigma_a * ig.scale,
+                          ig.eta))
     cos_o = vm.absdot(wo, frame.n)
     ft = 1.0 - bx.fr_dielectric(cos_o, jnp.full((r,), ig.eta, jnp.float32))
     use_sss = hit
     if sss_mask is not None:
         use_sss = use_sss & sss_mask[it["mat_id"]]
-    L = L + jnp.where(use_sss[:, None], ft[:, None] * mo_v * INV_PI, 0.0)
+    L = L + vm.where3(use_sss, mo_v * (ft * INV_PI), 0.0)
     if lt is not None:
         le = lt_mod.le_emitted(lt, geom, hits.prim, wo, it["ns"])
-        L = L + jnp.where(hit[:, None], le, 0.0)
+        L = L + vm.where3(hit, le, 0.0)
     if lt is not None and lt.n > 0:
         sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
                                          sctx["py"], sctx["s_idx"], d)
@@ -209,5 +209,5 @@ def li(ig: DipoleSubsurfaceIntegrator, scene: st.CompiledScene, rays, diffs,
         ld = common.uniform_sample_one_light(
             scene, it, frame, params, wo, sd(5), sd2(6), sd(8), sd2(9),
             sd(11))
-        L = L + jnp.where(hit[:, None], ld, 0.0)
+        L = L + vm.where3(hit, ld, 0.0)
     return L

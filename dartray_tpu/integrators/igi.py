@@ -9,7 +9,7 @@ nlights 64, nsets 4, glimit 10, maxdepth 5).
 
 Wavefront shape: VPL generation is one bounded light-path wavefront at
 preprocess (device); the gather is a static loop over VPL slots, each slot a
-full shadow wave.
+full shadow wave. Component-SoA (V3) throughout.
 """
 from __future__ import annotations
 
@@ -27,6 +27,7 @@ from .. import materials as mat_mod
 from .. import samplers as smp_mod
 from ..accel import traverse
 from ..core import math as vm
+from ..core.math import V3, V2
 from ..core import sampling as smp
 from ..core import spectrum as spec
 from ..scene import types as st
@@ -47,9 +48,9 @@ class IGIIntegrator:
 
 
 class VPLData(NamedTuple):
-    p: jnp.ndarray       # (S, K, 3)
-    n: jnp.ndarray       # (S, K, 3)
-    alpha: jnp.ndarray   # (S, K, 3) path throughput * Le
+    p: V3                # V3 of (S, K)
+    n: V3                # V3 of (S, K)
+    alpha: V3            # V3 of (S, K) path throughput * Le
     valid: jnp.ndarray   # (S, K) bool
 
 
@@ -70,22 +71,13 @@ def preprocess(ig: IGIIntegrator, scene: st.CompiledScene,
                                jnp.zeros_like(key))
 
     def u2(d):
-        return jnp.stack([u1(d), u1(d + 97)], axis=-1)
+        return V2(u1(d), u1(d + 97))
 
     # choose light by power CDF (ComputeLightSamplingCDF)
     uc = u1(0)
     li_idx = jnp.clip(jnp.searchsorted(lt.power_cdf, uc, side="right") - 1,
                       0, lt.n - 1).astype(jnp.int32)
-    # sample a point+direction on the light (light.sampleL two-sample form):
-    # area lights: point on triangle + cosine-ish hemisphere; point/spot:
-    # position + uniform sphere; distant/infinite: disk outside scene bound.
     kind = lt.kind[li_idx]
-    # area position
-    ls = lt_mod.sample_li(lt, geom, li_idx, jnp.zeros((total, 3)),
-                          u2(1), u1(3))
-    # For emission sampling we need a position on the light; reconstruct from
-    # sample_li's wi/dist for area lights (p_surf was origin).
-    p_on_light = ls.wi * ls.dist[:, None]
     dir_u = u2(4)
     w_sphere = smp.uniform_sample_sphere(dir_u)
     # area lights: emit on the normal side (cosine-weighted)
@@ -96,36 +88,47 @@ def preprocess(ig: IGIIntegrator, scene: st.CompiledScene,
             .astype(jnp.int32),
             jnp.maximum(lt.tri_count[jnp.maximum(li_idx, 0)] - 1, 0)), 0)
     b1, b2 = smp.uniform_sample_triangle(u2(6))
-    p_area = geom.v0[tri] + geom.e1[tri] * b1[:, None] \
-        + geom.e2[tri] * b2[:, None]
-    n_area = vm.normalize(vm.cross(geom.e1[tri], geom.e2[tri]))
+    tv0 = vm.gather3(geom.v0, tri)
+    te1 = vm.gather3(geom.e1, tri)
+    te2 = vm.gather3(geom.e2, tri)
+    p_area = tv0 + te1 * b1 + te2 * b2
+    n_area = vm.normalize(vm.cross(te1, te2))
     w_cos_local = smp.cosine_sample_hemisphere(u2(7))
     t1, t2_ = vm.coordinate_system(n_area)
-    w_area = (t1 * w_cos_local[:, 0:1] + t2_ * w_cos_local[:, 1:2]
-              + n_area * w_cos_local[:, 2:3])
+    w_area = (t1 * w_cos_local.x + t2_ * w_cos_local.y
+              + n_area * w_cos_local.z)
     is_area = kind == lt_mod.AREA
-    p0 = jnp.where(is_area[:, None], p_area, lt.p[li_idx])
-    w0 = jnp.where(is_area[:, None], w_area, w_sphere)
+    lp = lt_mod._g3(lt.p, li_idx)
+    inten = lt_mod._g3(lt.intensity, li_idx)
+    p0 = vm.where3(is_area, p_area, lp)
+    w0 = vm.where3(is_area, w_area, w_sphere)
     # initial alpha = Le * pi * area / pdf_light_choice (area) or
     # I * 4pi / pdf (point) — matching pbrt's sampleL pdf bookkeeping
     pdf_choice = jnp.maximum(
         lt.power_cdf[li_idx + 1] - lt.power_cdf[li_idx], 1e-9)
     area_total = lt.total_area[jnp.maximum(li_idx, 0)]
-    alpha_area = lt.intensity[li_idx] * (np.pi * area_total)[..., None]
-    alpha_point = lt.intensity[li_idx] * (4.0 * np.pi)
-    alpha = jnp.where(is_area[:, None], alpha_area, alpha_point) \
-        / pdf_choice[:, None] / float(ig.n_light_paths)
+    alpha_area = inten * (np.pi * area_total)
+    alpha_point = inten * (4.0 * np.pi)
+    alpha = vm.where3(is_area, alpha_area, alpha_point) \
+        * (1.0 / (pdf_choice * float(ig.n_light_paths)))
 
     # random walk, deposit VPL at each diffuse hit
     max_vpl = ig.max_depth
-    vpl_p = jnp.zeros((total, max_vpl, 3), jnp.float32)
-    vpl_n = jnp.zeros((total, max_vpl, 3), jnp.float32)
-    vpl_a = jnp.zeros((total, max_vpl, 3), jnp.float32)
+    zt = jnp.zeros((total, max_vpl), jnp.float32)
+    vpl_p = V3(zt, zt, zt)
+    vpl_n = V3(zt, zt, zt)
+    vpl_a = V3(zt, zt, zt)
     vpl_ok = jnp.zeros((total, max_vpl), bool)
     cur_o = p0 + w0 * 1e-3
     cur_d = w0
     active = jnp.ones((total,), bool)
     tp = alpha
+
+    def set_col(dst, depth, src):
+        return V3(dst.x.at[:, depth].set(src.x),
+                  dst.y.at[:, depth].set(src.y),
+                  dst.z.at[:, depth].set(src.z))
+
     for depth in range(ig.max_depth):
         rays = vm.make_rays(cur_o, cur_d)
         hits = st.intersect(geom, rays)
@@ -134,38 +137,36 @@ def preprocess(ig: IGIIntegrator, scene: st.CompiledScene,
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
         params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                      scene.textures, it)
-        vpl_p = vpl_p.at[:, depth].set(it["p"])
-        vpl_n = vpl_n.at[:, depth].set(
-            vm.face_forward(it["ns"], it["wo"]))
+        vpl_p = set_col(vpl_p, depth, it["p"])
+        vpl_n = set_col(vpl_n, depth, vm.face_forward(it["ns"], it["wo"]))
         # the stored VPL contribution includes the VPL surface's BRDF:
         # contrib = alpha * rho(wo)/pi (igi preprocess semantics) — rho
         # approximated by the diffuse+glossy slot weights of the fixed-slot
         # BSDF; omitting this factor over-brightens the gather by ~pi/rho
         rho = params.kd + params.ks
-        vpl_a = vpl_a.at[:, depth].set(tp * rho * (1.0 / np.pi))
+        vpl_a = set_col(vpl_a, depth, tp * rho * (1.0 / np.pi))
         vpl_ok = vpl_ok.at[:, depth].set(hit)
         # continue the walk
         bs = bx.sample_f(params, frame, it["wo"], u2(10 + depth * 3),
                          u1(12 + depth * 3))
         cos_s = vm.absdot(bs.wi, frame.n)
-        cont = hit & bs.valid & (bs.pdf > 0) & jnp.any(bs.f != 0, axis=-1)
-        new_tp = tp * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))[:, None]
+        cont = hit & bs.valid & (bs.pdf > 0) & spec.any_nonzero(bs.f)
+        new_tp = tp * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))
         # RR on contrast (igi_integrator.dart:60-95 simplified)
         lum_ratio = spec.luminance(new_tp) / jnp.maximum(
             spec.luminance(tp), 1e-9)
         cprob = jnp.minimum(1.0, lum_ratio)
         survive = u1(13 + depth * 3) < cprob
-        new_tp = new_tp / jnp.maximum(cprob, 1e-9)[:, None]
-        tp = jnp.where(cont[:, None], new_tp, tp)
+        new_tp = new_tp * (1.0 / jnp.maximum(cprob, 1e-9))
+        tp = vm.where3(cont, new_tp, tp)
         active = cont & survive
         eps = st.ray_epsilon(it["t"])
-        cur_o = it["p"] + vm.face_forward(it["ng"], bs.wi) * eps[:, None]
+        cur_o = it["p"] + vm.face_forward(it["ng"], bs.wi) * eps
         cur_d = bs.wi
     k = n_paths * max_vpl
-    return VPLData(p=vpl_p.reshape(s_sets, k, 3),
-                   n=vpl_n.reshape(s_sets, k, 3),
-                   alpha=vpl_a.reshape(s_sets, k, 3),
-                   valid=vpl_ok.reshape(s_sets, k))
+    rs = lambda a: a.reshape(s_sets, k)
+    return VPLData(p=vpl_p.map(rs), n=vpl_n.map(rs),
+                   alpha=vpl_a.map(rs), valid=vpl_ok.reshape(s_sets, k))
 
 
 def li(ig: IGIIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
@@ -174,7 +175,7 @@ def li(ig: IGIIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     lt = scene.lights
     if vpls is None:
         vpls = preprocess(ig, scene)
-    r = rays.o.shape[0]
+    r = rays.n
     hits = st.intersect(geom, rays)
     hit = hits.hit
     it = st.interaction(geom, rays, hits)
@@ -182,13 +183,13 @@ def li(ig: IGIIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                  scene.textures, it)
     wo = it["wo"]
-    L = jnp.zeros((r, 3), jnp.float32)
+    L = vm.v3zeros((r,))
     # escaped: env radiance
     if lt is not None and lt.env_light_index >= 0:
-        L = L + jnp.where((~hit)[:, None], lt_mod.env_le(lt, rays.d), 0.0)
+        L = L + vm.where3(~hit, lt_mod.env_le(lt, rays.d), 0.0)
     if lt is not None:
         le = lt_mod.le_emitted(lt, geom, hits.prim, wo, it["ns"])
-        L = L + jnp.where(hit[:, None], le, 0.0)
+        L = L + vm.where3(hit, le, 0.0)
     sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
                                      sctx["py"], sctx["s_idx"], d)
     sd2 = lambda d: smp_mod.sample_2d(sctx["sampler"], sctx["px"],
@@ -197,33 +198,34 @@ def li(ig: IGIIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
         ld = common.uniform_sample_one_light(
             scene, it, frame, params, wo, sd(5), sd2(6), sd(8), sd2(9),
             sd(11))
-        L = L + jnp.where(hit[:, None], ld, 0.0)
+        L = L + vm.where3(hit, ld, 0.0)
     # gather one VPL set — lax.fori_loop over VPLs so program size and
     # compile time are FLAT in nlights (a Python loop unrolled k full
     # shadow traversals: measured 30 GB / 50 min CPU compiles at k=64)
     set_idx = jnp.minimum((sd(12) * ig.n_light_sets).astype(jnp.int32),
                           ig.n_light_sets - 1)
     eps = st.ray_epsilon(it["t"])
-    k = vpls.p.shape[1]
+    k = vpls.valid.shape[1]
 
     def gather_vpl(j, L):
-        vp = vpls.p[set_idx, j]          # (R, 3)
-        vn = vpls.n[set_idx, j]
-        va = vpls.alpha[set_idx, j]
+        at = lambda a: a[set_idx, j]
+        vp = vpls.p.map(at)
+        vn = vpls.n.map(at)
+        va = vpls.alpha.map(at)
         ok = vpls.valid[set_idx, j]
         to_v = vp - it["p"]
         d2 = jnp.maximum(vm.length_sq(to_v), 1e-8)
         dist = jnp.sqrt(d2)
-        wi = to_v / dist[:, None]
+        wi = to_v * (1.0 / dist)
         cos_s = vm.absdot(wi, frame.n)
         cos_v = jnp.maximum(vm.dot(vn, -wi), 0.0)
         g = jnp.minimum(cos_s * cos_v / d2, ig.g_limit)
         f_v = bx.f(params, frame, wo, wi, bx.ALL & ~bx.SPECULAR)
-        contrib = f_v * va * g[:, None]
-        worth = ok & hit & (g > 0) & jnp.any(contrib != 0, axis=-1)
+        contrib = f_v * va * g
+        worth = ok & hit & (g > 0) & spec.any_nonzero(contrib)
         sray = common.shadow_ray(it["p"], it["ng"], frame.n, wi,
                                  dist, eps)
         occ = st.intersect_p(geom, sray)
-        return L + jnp.where((worth & ~occ)[:, None], contrib, 0.0)
+        return L + vm.where3(worth & ~occ, contrib, 0.0)
 
     return jax.lax.fori_loop(0, k, gather_vpl, L)

@@ -72,6 +72,12 @@ def _hash_cells(ip):
     return (h & np.int32(0x7fffffff)).astype(jnp.int32)
 
 
+def _hash_cells3(ix, iy, iz):
+    h = (ix * np.int32(73856093) ^ iy * np.int32(19349663)
+         ^ iz * np.int32(83492791))
+    return (h & np.int32(0x7fffffff)).astype(jnp.int32)
+
+
 _NEIGHBORS = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
                        for k in (-1, 0, 1)], np.int32)
 
@@ -82,40 +88,42 @@ def _hemisphere_E(scene, p, n_vec, ng, t_hit, n_samples, seed, max_dist):
     the harmonic-mean hit distance."""
     geom = scene.geometry
     lt = scene.lights
-    r = p.shape[0]
+    p = vm.from_arr(p)
+    n_vec = vm.from_arr(n_vec)
+    r = jnp.shape(p.x)[0]
     eps = st.ray_epsilon(t_hit)
     t1, t2 = vm.coordinate_system(n_vec)
-    scr = jnp.asarray(np.random.default_rng(seed).integers(
-        0, 2 ** 32, 2, dtype=np.uint32))
+    scr_np = np.random.default_rng(seed).integers(
+        0, 2 ** 32, 2, dtype=np.uint32)
+    scr = (jnp.uint32(int(scr_np[0])), jnp.uint32(int(scr_np[1])))
 
     def body(i, carry):
         E, inv_d_sum = carry
         u = smp.sample02(jnp.uint32(i), scr)
-        d_loc = smp.cosine_sample_hemisphere(u)          # (3,) shared dir
-        wi = vm.normalize(d_loc[0] * t1 + d_loc[1] * t2 + d_loc[2] * n_vec)
-        rays = vm.Rays(o=p + vm.face_forward(ng, wi) * eps[:, None], d=wi,
+        d_loc = smp.cosine_sample_hemisphere(u)          # scalar shared dir
+        wi = vm.normalize(t1 * d_loc.x + t2 * d_loc.y + n_vec * d_loc.z)
+        rays = vm.Rays(o=p + vm.face_forward(ng, wi) * eps, d=wi,
                        tmin=jnp.zeros((r,), jnp.float32),
                        tmax=jnp.full((r,), jnp.inf, jnp.float32),
                        time=jnp.zeros((r,), jnp.float32))
         hits = st.intersect(geom, rays)
         it = st.interaction(geom, rays, hits)
-        li_v = jnp.zeros((r, 3), jnp.float32)
+        li_v = vm.v3zeros((r,))
         if lt is not None:
             le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
-            li_v = jnp.where(hits.hit[:, None], le, li_v)
+            li_v = vm.where3(hits.hit, le, li_v)
             if lt.env_light_index >= 0:
-                li_v = jnp.where(hits.hit[:, None], li_v,
-                                 lt_mod.env_le(lt, wi))
+                li_v = vm.where3(hits.hit, li_v, lt_mod.env_le(lt, wi))
         # cosine-sampled: E += Li * cos / pdf = Li * pi
         E = E + li_v * np.pi
         inv_d = jnp.where(hits.hit, 1.0 / jnp.maximum(hits.t, 1e-6),
                           1.0 / max_dist)
         return (E, inv_d_sum + inv_d)
 
-    E0 = jnp.zeros((r, 3), jnp.float32)
     E, inv_d_sum = jax.lax.fori_loop(0, n_samples, body,
-                                     (E0, jnp.zeros((r,), jnp.float32)))
-    E = E / n_samples
+                                     (vm.v3zeros((r,)),
+                                      jnp.zeros((r,), jnp.float32)))
+    E = E * (1.0 / n_samples)
     dmean = n_samples / jnp.maximum(inv_d_sum, 1e-9)
     return E, jnp.minimum(dmean, max_dist)
 
@@ -149,9 +157,9 @@ def build_cache(ig: IrradianceCacheIntegrator, scene, camera, width, height,
     E, dmean = _hemisphere_E(scene, it["p"], ns_v, it["ng"], it["t"],
                              ig.n_samples, seed, max_dist)
     keep = np.asarray(hits.hit)
-    p_np = np.asarray(it["p"])[keep]
-    n_np = np.asarray(ns_v)[keep]
-    E_np = np.asarray(E)[keep]
+    p_np = np.asarray(vm.to_arr(it["p"]))[keep]
+    n_np = np.asarray(vm.to_arr(ns_v))[keep]
+    E_np = np.asarray(vm.to_arr(E))[keep]
     d_np = np.asarray(dmean)[keep]
     if p_np.shape[0] == 0:
         p_np = np.full((1, 3), 1e30, np.float32)
@@ -172,14 +180,21 @@ def build_cache(ig: IrradianceCacheIntegrator, scene, camera, width, height,
 def interpolate(cache: IrradianceCache, ig: IrradianceCacheIntegrator,
                 q, nq):
     """Weighted interpolation (IrradProcess.successful/getIrradiance):
-    returns (E, weight_sum)."""
-    ipq = jnp.floor(q / cache.cell_size).astype(jnp.int32)
-    r = q.shape[0]
+    returns (E, weight_sum). q/nq: V3."""
+    q = vm.from_arr(q)
+    nq = vm.from_arr(nq)
+    cl = lambda c: jnp.floor(c / cache.cell_size).astype(jnp.int32)
+    iqx, iqy, iqz = cl(q.x), cl(q.y), cl(q.z)
+    r = jnp.shape(q.x)[0]
     cos_max = float(np.cos(np.radians(ig.max_angle_deg)))
-    E_acc = jnp.zeros((r, 3), jnp.float32)
+    E_acc = vm.v3zeros((r,))
     w_acc = jnp.zeros((r,), jnp.float32)
+    cp = vm.from_arr(cache.p)
+    cn = vm.from_arr(cache.n)
+    cE = vm.from_arr(cache.E)
     for off in _NEIGHBORS:
-        hid = _hash_cells(ipq + jnp.asarray(off))
+        hid = _hash_cells3(iqx + int(off[0]), iqy + int(off[1]),
+                           iqz + int(off[2]))
         lo = jnp.searchsorted(cache.cell, hid, side="left")
         hi = jnp.searchsorted(cache.cell, hid, side="right")
         hi = jnp.minimum(hi, lo + MAX_SCAN)
@@ -188,21 +203,21 @@ def interpolate(cache: IrradianceCache, ig: IrradianceCacheIntegrator,
             E_a, w_a = carry
             idx = jnp.minimum(lo + k, cache.count - 1)
             valid = (lo + k) < hi
-            pi = cache.p[idx]
-            ni = cache.n[idx]
-            Ei = cache.E[idx]
+            pi = vm.gather3(cp, idx)
+            ni = vm.gather3(cn, idx)
+            Ei = vm.gather3(cE, idx)
             di = cache.dmean[idx]
-            perr = jnp.linalg.norm(q - pi, axis=-1) / jnp.maximum(di, 1e-6)
-            ndot = jnp.sum(nq * ni, axis=-1)
+            perr = vm.length(q - pi) / jnp.maximum(di, 1e-6)
+            ndot = vm.dot(nq, ni)
             nerr = jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0) /
                             max(1.0 - cos_max, 1e-6))
             w = 1.0 / jnp.maximum(perr + nerr, 1e-6)
             ok = valid & (w > ig.min_weight) & (ndot > 0.0)
             w = jnp.where(ok, w, 0.0)
-            return (E_a + Ei * w[:, None], w_a + w)
+            return (E_a + Ei * w, w_a + w)
 
         E_acc, w_acc = jax.lax.fori_loop(0, MAX_SCAN, body, (E_acc, w_acc))
-    E = E_acc / jnp.maximum(w_acc, 1e-9)[:, None]
+    E = E_acc * (1.0 / jnp.maximum(w_acc, 1e-9))
     return E, w_acc
 
 
@@ -212,12 +227,12 @@ def li(ig: IrradianceCacheIntegrator, scene: st.CompiledScene, rays, diffs,
     fallback hemisphere MC where uncovered."""
     geom = scene.geometry
     lt = scene.lights
-    r = rays.o.shape[0]
+    r = rays.n
     hits = st.intersect(geom, rays)
     hit = hits.hit
-    L = jnp.zeros((r, 3), jnp.float32)
+    L = vm.v3zeros((r,))
     if lt is not None and lt.env_light_index >= 0:
-        L = L + jnp.where(hit[:, None], 0.0, lt_mod.env_le(lt, rays.d))
+        L = L + vm.where3(hit, 0.0, lt_mod.env_le(lt, rays.d))
     it = st.interaction(geom, rays, hits)
     ns_v = vm.face_forward(it["ns"], it["wo"])
     frame = bx.make_frame(ns_v, it["dpdu"], it["ng"])
@@ -226,7 +241,7 @@ def li(ig: IrradianceCacheIntegrator, scene: st.CompiledScene, rays, diffs,
     wo = it["wo"]
     if lt is not None:
         le = lt_mod.le_emitted(lt, geom, hits.prim, wo, it["ns"])
-        L = L + jnp.where(hit[:, None], le, 0.0)
+        L = L + vm.where3(hit, le, 0.0)
     if lt is not None and lt.n > 0:
         sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
                                          sctx["py"], sctx["s_idx"], d)
@@ -235,12 +250,12 @@ def li(ig: IrradianceCacheIntegrator, scene: st.CompiledScene, rays, diffs,
         ld = common.uniform_sample_one_light(
             scene, it, frame, params, wo, sd(5), sd2(6), sd(8), sd2(9),
             sd(11))
-        L = L + jnp.where(hit[:, None], ld, 0.0)
+        L = L + vm.where3(hit, ld, 0.0)
     E, w_sum = interpolate(cache, ig, it["p"], ns_v)
     covered = w_sum > 0.0
     E_fb, _ = _hemisphere_E(scene, it["p"], ns_v, it["ng"], it["t"],
                             ig.fallback_samples, 17,
                             cache.cell_size * 16.0)
-    E = jnp.where(covered[:, None], E, E_fb)
-    L = L + jnp.where(hit[:, None], params.kd * E * INV_PI, 0.0)
+    E = vm.where3(covered, E, E_fb)
+    L = L + vm.where3(hit, params.kd * E * INV_PI, 0.0)
     return L

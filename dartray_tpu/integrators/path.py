@@ -37,8 +37,10 @@ class PathIntegrator:
     rr_depth: int = 3
     # rematerialize each bounce under reverse-mode AD: activations of the
     # bounce body are recomputed in the backward sweep instead of stored,
-    # so differentiable-render memory is O(1) in depth (VERDICT r3 #7)
-    remat: bool = False
+    # so differentiable-render memory is O(1) in depth (VERDICT r3 #7).
+    # None = auto: remat on for max_depth > 3 (forward-only cost is zero;
+    # checkpoint only changes the AD tape).
+    remat: bool = None
 
 
 def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
@@ -60,9 +62,9 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     (metropolis_renderer.dart:86-109); specular-prefix paths remain."""
     geom = scene.geometry
     lt = scene.lights
-    r = rays.o.shape[0]
-    L = jnp.zeros((r, 3), jnp.float32)
-    throughput = jnp.ones((r, 3), jnp.float32)
+    r = rays.n
+    L = vm.v3zeros((r,))
+    throughput = vm.v3ones((r,))
     active = jnp.ones((r,), bool)
     specular_bounce = jnp.zeros((r,), bool)
     prev_pdf = jnp.zeros((r,), jnp.float32)
@@ -94,7 +96,7 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
                 gate = active & specular_bounce
             else:
                 gate = active
-            L = L + jnp.where(gate[:, None], throughput * le_w, 0.0)
+            L = L + vm.where3(gate, throughput * le_w, 0.0)
         params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                      scene.textures, it)
         wo = it["wo"]
@@ -107,7 +109,7 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
             ld = common.nee_one_light(scene, it, frame, params, wo,
                                       sd(dim), sd2(dim + 1), sd(dim + 3),
                                       mask=hit, order=order)
-            L = L + jnp.where(hit[:, None], throughput * ld, 0.0)
+            L = L + vm.where3(hit, throughput * ld, 0.0)
         if bounce == ig.max_depth:
             return (L, throughput, active, specular_bounce, prev_pdf, cur,
                     order)
@@ -118,32 +120,32 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
                                  sctx["s_idx"], dim + 9)
         bs = bx.sample_f(params, frame, wo, u_b, uc_b, flags=bx.ALL)
         cos_s = vm.absdot(bs.wi, frame.n)
-        cont = hit & bs.valid & (bs.pdf > 0.0) & jnp.any(bs.f != 0.0, axis=-1)
-        new_tp = throughput * bs.f * (cos_s
-                                      / jnp.maximum(bs.pdf, 1e-20))[:, None]
+        cont = hit & bs.valid & (bs.pdf > 0.0) & spec.any_nonzero(bs.f)
+        new_tp = throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))
         # Russian roulette (path_integrator.dart:93-99)
         if bounce > ig.rr_depth:
             u_rr = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
                                      sctx["s_idx"], dim + 8)
             cprob = jnp.minimum(0.5, spec.luminance(new_tp))
             survive = u_rr <= cprob
-            new_tp = new_tp / jnp.maximum(cprob, 1e-8)[:, None]
+            new_tp = new_tp * (1.0 / jnp.maximum(cprob, 1e-8))
             cont = cont & survive
-        throughput = jnp.where(cont[:, None], new_tp, throughput)
+        throughput = vm.where3(cont, new_tp, throughput)
         specular_bounce = (bs.flags & bx.SPECULAR) != 0
         prev_pdf = bs.pdf
         eps = st.ray_epsilon(it["t"])
         ng_f = vm.face_forward(it["ng"], bs.wi)
-        cur = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
+        cur = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
                       tmin=jnp.zeros((r,), jnp.float32),
                       tmax=jnp.where(cont, jnp.inf, -1.0),
                       time=cur.time)
         return L, throughput, cont, specular_bounce, prev_pdf, cur, order
 
     carry = (L, throughput, active, specular_bounce, prev_pdf, cur, None)
+    use_remat = ig.remat if ig.remat is not None else (ig.max_depth > 3)
     for bounce in range(ig.max_depth + 1):
         body = partial(bounce_body, bounce=bounce)
-        if ig.remat:
+        if use_remat:
             # recompute this bounce's activations in the backward sweep
             # instead of storing them: grad memory O(1) in path depth
             body = jax.checkpoint(body)

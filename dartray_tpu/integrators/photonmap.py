@@ -69,31 +69,36 @@ class PhotonMapIntegrator:
          meta_fields=["cell_size", "n"])
 @dataclasses.dataclass
 class PhotonMap:
-    """Photons sorted by spatial-hash cell id (the kd-tree replacement)."""
-    p: jnp.ndarray        # (N, 3)
-    wi: jnp.ndarray       # (N, 3) incident direction (toward photon origin)
-    alpha: jnp.ndarray    # (N, 3) power / n_paths
+    """Photons sorted by spatial-hash cell id (the kd-tree replacement).
+    p/wi/alpha are component-SoA V3 of (N,)."""
+    p: vm.V3
+    wi: vm.V3             # incident direction (toward photon origin)
+    alpha: vm.V3          # power / n_paths
     cell: jnp.ndarray     # (N,) int32 sorted hash ids
     cell_size: float
     n: int
 
 
-def _hash_cells(ip):
-    """int cell coords (..., 3) -> int32 hash (pbrt-style spatial hash)."""
-    h = (ip[..., 0] * np.int32(73856093)
-         ^ ip[..., 1] * np.int32(19349663)
-         ^ ip[..., 2] * np.int32(83492791))
+def _hash_cells(ix, iy, iz):
+    """int cell coords -> int32 hash (pbrt-style spatial hash)."""
+    h = (ix * np.int32(73856093)
+         ^ iy * np.int32(19349663)
+         ^ iz * np.int32(83492791))
     return (h & np.int32(0x7fffffff)).astype(jnp.int32)
 
 
 def build_map(p, wi, alpha, cell_size: float) -> PhotonMap:
     """Sort photons by hash cell (host arrays ok; runs fine jitted too)."""
-    ip = jnp.floor(p / cell_size).astype(jnp.int32)
-    cell = _hash_cells(ip)
+    p = vm.from_arr(p)
+    wi = vm.from_arr(wi)
+    alpha = vm.from_arr(alpha)
+    cl = lambda c: jnp.floor(c / cell_size).astype(jnp.int32)
+    cell = _hash_cells(cl(p.x), cl(p.y), cl(p.z))
     order = jnp.argsort(cell)
-    return PhotonMap(p=p[order], wi=wi[order], alpha=alpha[order],
+    g = lambda v: vm.gather3(v, order)
+    return PhotonMap(p=g(p), wi=g(wi), alpha=g(alpha),
                      cell=cell[order], cell_size=float(cell_size),
-                     n=int(p.shape[0]))
+                     n=int(jnp.shape(p.x)[0]))
 
 
 _NEIGHBORS = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
@@ -104,11 +109,14 @@ def gather_photons(pm: PhotonMap, q, accum_fn, init):
     """Scan photons within the 27 neighbor cells of query points q (R, 3).
 
     accum_fn(carry, ph_p, ph_wi, ph_alpha, valid_mask) -> carry, applied for
-    MAX_SCAN slots per cell (static shapes). Returns final carry."""
-    ipq = jnp.floor(q / pm.cell_size).astype(jnp.int32)
+    MAX_SCAN slots per cell (static shapes). Returns final carry. q: V3."""
+    q = vm.from_arr(q)
+    cl = lambda c: jnp.floor(c / pm.cell_size).astype(jnp.int32)
+    iqx, iqy, iqz = cl(q.x), cl(q.y), cl(q.z)
     carry = init
     for off in _NEIGHBORS:
-        hid = _hash_cells(ipq + jnp.asarray(off))
+        hid = _hash_cells(iqx + int(off[0]), iqy + int(off[1]),
+                          iqz + int(off[2]))
         lo = jnp.searchsorted(pm.cell, hid, side="left")
         hi = jnp.searchsorted(pm.cell, hid, side="right")
         hi = jnp.minimum(hi, lo + MAX_SCAN)
@@ -116,7 +124,9 @@ def gather_photons(pm: PhotonMap, q, accum_fn, init):
         def body(k, c):
             idx = jnp.minimum(lo + k, pm.n - 1)
             valid = (lo + k) < hi
-            return accum_fn(c, pm.p[idx], pm.wi[idx], pm.alpha[idx], valid)
+            return accum_fn(c, vm.gather3(pm.p, idx),
+                            vm.gather3(pm.wi, idx),
+                            vm.gather3(pm.alpha, idx), valid)
 
         carry = jax.lax.fori_loop(0, MAX_SCAN, body, carry)
     return carry
@@ -127,7 +137,8 @@ def density_radiance(pm: PhotonMap, q, frame, params, wo, max_dist,
     """L = sum_j k(d_j) f(wo, wi_j) alpha_j (LPhoton, with the Simpson
     kernel 3/(pi r^2) (1 - d^2/r^2)^2)."""
     r2max = max_dist * max_dist
-    rr = q.shape[0]
+    q = vm.from_arr(q)
+    rr = jnp.shape(q.x)[0]
 
     def acc(c, pp, pwi, pal, valid):
         d2 = vm.length_sq(pp - q)
@@ -137,9 +148,9 @@ def density_radiance(pm: PhotonMap, q, frame, params, wo, max_dist,
             f_v = params.kd * INV_PI
         else:
             f_v = bx.f(params, frame, wo, pwi, bx.ALL & ~bx.SPECULAR)
-        return c + jnp.where(inside[:, None], f_v * pal * k[:, None], 0.0)
+        return c + vm.where3(inside, f_v * pal * k, 0.0)
 
-    return gather_photons(pm, q, acc, jnp.zeros((rr, 3), jnp.float32))
+    return gather_photons(pm, q, acc, vm.v3zeros((rr,)))
 
 
 def shoot_photons(ig: PhotonMapIntegrator, scene: st.CompiledScene):
@@ -160,7 +171,7 @@ def shoot_photons(ig: PhotonMapIntegrator, scene: st.CompiledScene):
         return smp.rng_uniform(key[0] ^ smp.hash_u32(jnp.uint32(ctr)), i)
 
     def u2(ctr):
-        return jnp.stack([u1(ctr * 2 + 1), u1(ctr * 2 + 2)], axis=-1)
+        return vm.V2(u1(ctr * 2 + 1), u1(ctr * 2 + 2))
 
     @jax.jit
     def run():
@@ -181,40 +192,44 @@ def shoot_photons(ig: PhotonMapIntegrator, scene: st.CompiledScene):
             frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
             params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                          scene.textures, it)
-            has_diffuse = jnp.any(params.kd > 0, axis=-1) | \
-                jnp.any(params.ks > 0, axis=-1)
+            has_diffuse = ((params.kd.x > 0) | (params.kd.y > 0)
+                           | (params.kd.z > 0) | (params.ks.x > 0)
+                           | (params.ks.y > 0) | (params.ks.z > 0))
             deposit = hit & has_diffuse
             kind = jnp.where(bounce == 0, 0,
                              jnp.where(specular_only, 1, 2))
-            ps.append(jnp.where(deposit[:, None], it["p"], 1e30))
+            ps.append(vm.where3(deposit, it["p"], 1e30))
             wis.append(it["wo"])
-            als.append(jnp.where(deposit[:, None], alpha, 0.0))
+            als.append(vm.where3(deposit, alpha, 0.0))
             kinds.append(jnp.where(deposit, kind, -1))
             # continue the path: BSDF sample, RR on throughput ratio
             ub = u2(10 + bounce * 4)
             uc = u1(12 + bounce * 4)
             bs = bx.sample_f(params, frame, it["wo"], ub, uc, flags=bx.ALL)
             cos_s = vm.absdot(bs.wi, frame.n)
-            anew = alpha * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))[:, None]
+            anew = alpha * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))
             # RR (photon_map_integrator.dart continue probability)
-            ratio = (jnp.sum(anew, axis=-1)
-                     / jnp.maximum(jnp.sum(alpha, axis=-1), 1e-12))
+            ratio = ((anew.x + anew.y + anew.z)
+                     / jnp.maximum(alpha.x + alpha.y + alpha.z, 1e-12))
             cprob = jnp.minimum(1.0, ratio)
             u_rr = u1(13 + bounce * 4)
             survive = u_rr < cprob
-            anew = anew / jnp.maximum(cprob, 1e-8)[:, None]
+            anew = anew * (1.0 / jnp.maximum(cprob, 1e-8))
             cont = hit & bs.valid & (bs.pdf > 0) & survive
-            alpha = jnp.where(cont[:, None], anew, alpha)
+            alpha = vm.where3(cont, anew, alpha)
             specular_only = specular_only & ((bs.flags & bx.SPECULAR) != 0)
             eps = st.ray_epsilon(it["t"])
             ng_f = vm.face_forward(it["ng"], bs.wi)
-            cur = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
+            cur = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
                           tmin=jnp.zeros((n,), jnp.float32),
                           tmax=jnp.full((n,), jnp.inf, jnp.float32),
                           time=cur.time)
             active = cont
-        return (jnp.concatenate(ps), jnp.concatenate(wis),
-                jnp.concatenate(als), jnp.concatenate(kinds))
+        cat3 = lambda vs: vm.V3(jnp.concatenate([v.x for v in vs]),
+                                jnp.concatenate([v.y for v in vs]),
+                                jnp.concatenate([v.z for v in vs]))
+        return (vm.to_arr(cat3(ps)), vm.to_arr(cat3(wis)),
+                vm.to_arr(cat3(als)), jnp.concatenate(kinds))
 
     p, wi, al, kind = (np.asarray(x) for x in run())
 
@@ -236,9 +251,9 @@ def li(ig: PhotonMapIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     caustic_map, direct_map, indirect_map = maps
     geom = scene.geometry
     lt = scene.lights
-    r = rays.o.shape[0]
-    L = jnp.zeros((r, 3), jnp.float32)
-    throughput = jnp.ones((r, 3), jnp.float32)
+    r = rays.n
+    L = vm.v3zeros((r,))
+    throughput = vm.v3ones((r,))
     active = jnp.ones((r,), bool)
     cur = rays
     dim = 5
@@ -246,13 +261,13 @@ def li(ig: PhotonMapIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
         hits = st.intersect(geom, cur)
         hit = hits.hit & active
         if lt is not None and lt.env_light_index >= 0:
-            L = L + jnp.where((active & ~hits.hit)[:, None],
+            L = L + vm.where3(active & ~hits.hit,
                               throughput * lt_mod.env_le(lt, cur.d), 0.0)
         it = st.interaction(geom, cur, hits)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
         if lt is not None:
             le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
-            L = L + jnp.where(hit[:, None], throughput * le, 0.0)
+            L = L + vm.where3(hit, throughput * le, 0.0)
         params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                      scene.textures, it)
         wo = it["wo"]
@@ -265,11 +280,11 @@ def li(ig: PhotonMapIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
             ld = common.uniform_sample_one_light(
                 scene, it, frame, params, wo,
                 sd(dim), sd2(dim + 1), sd(dim + 3), sd2(dim + 4), sd(dim + 6))
-            L = L + jnp.where(hit[:, None], throughput * ld, 0.0)
+            L = L + vm.where3(hit, throughput * ld, 0.0)
         # caustics: density estimate at the hit
         lc = density_radiance(caustic_map, it["p"], frame, params, wo,
                               ig.max_dist)
-        L = L + jnp.where(hit[:, None], throughput * lc, 0.0)
+        L = L + vm.where3(hit, throughput * lc, 0.0)
         if depth == 0:     # indirect only at the first (non-specular) hit
             if ig.final_gather:
                 li_ind = _final_gather(ig, scene, it, frame, params, wo,
@@ -278,7 +293,7 @@ def li(ig: PhotonMapIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
             else:
                 li_ind = density_radiance(indirect_map, it["p"], frame,
                                           params, wo, ig.max_dist)
-            L = L + jnp.where(hit[:, None], throughput * li_ind, 0.0)
+            L = L + vm.where3(hit, throughput * li_ind, 0.0)
         if depth == ig.max_specular_depth:
             break
         u_s = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
@@ -289,14 +304,15 @@ def li(ig: PhotonMapIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
         bs = bx.sample_f(params, frame, wo, u_s, uc_s,
                          flags=bx.SPECULAR | bx.REFLECTION | bx.TRANSMISSION)
         cos_s = vm.absdot(bs.wi, frame.n)
-        cont = hit & bs.valid & (bs.pdf > 0.0) & jnp.any(bs.f != 0.0, axis=-1)
-        throughput = jnp.where(
-            cont[:, None],
-            throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))[:, None],
+        cont = hit & bs.valid & (bs.pdf > 0.0) & (
+            (bs.f.x != 0.0) | (bs.f.y != 0.0) | (bs.f.z != 0.0))
+        throughput = vm.where3(
+            cont,
+            throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20)),
             throughput)
         eps = st.ray_epsilon(it["t"])
         ng_f = vm.face_forward(it["ng"], bs.wi)
-        cur = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
+        cur = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
                       tmin=jnp.zeros((r,), jnp.float32),
                       tmax=jnp.full((r,), jnp.inf, jnp.float32),
                       time=cur.time)
@@ -310,9 +326,9 @@ def _final_gather(ig, scene, it, frame, params, wo, maps, sctx, dim):
     photon_map_integrator.dart:84-152 / ComputeRadianceTask)."""
     caustic_map, direct_map, indirect_map = maps
     geom = scene.geometry
-    r = it["p"].shape[0]
+    r = jnp.shape(it["t"])[0]
     eps = st.ray_epsilon(it["t"])
-    acc = jnp.zeros((r, 3), jnp.float32)
+    acc = vm.v3zeros((r,))
     for g in range(ig.gather_samples):
         u_g = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
                                 sctx["s_idx"], dim + g * 3)
@@ -322,7 +338,7 @@ def _final_gather(ig, scene, it, frame, params, wo, maps, sctx, dim):
                          flags=bx.ALL & ~bx.SPECULAR)
         ok = bs.valid & (bs.pdf > 0)
         ng_f = vm.face_forward(it["ng"], bs.wi)
-        gray = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
+        gray = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
                        tmin=jnp.zeros((r,), jnp.float32),
                        tmax=jnp.full((r,), jnp.inf, jnp.float32),
                        time=jnp.zeros((r,), jnp.float32))
@@ -331,7 +347,7 @@ def _final_gather(ig, scene, it, frame, params, wo, maps, sctx, dim):
         gframe = bx.make_frame(git["ns"], git["dpdu"], git["ng"])
         gparams = mat_mod.eval_params(scene.materials, git["mat_id"],
                                       scene.textures, git)
-        lrad = jnp.zeros((r, 3), jnp.float32)
+        lrad = vm.v3zeros((r,))
         for pm in (caustic_map, direct_map, indirect_map):
             lrad = lrad + density_radiance(pm, git["p"], gframe, gparams,
                                            git["wo"], ig.max_dist,
@@ -339,5 +355,5 @@ def _final_gather(ig, scene, it, frame, params, wo, maps, sctx, dim):
         cos_g = vm.absdot(bs.wi, frame.n)
         w = jnp.where(ok & gh.hit,
                       cos_g / jnp.maximum(bs.pdf, 1e-20), 0.0)
-        acc = acc + bs.f * lrad * w[:, None]
-    return acc / float(ig.gather_samples)
+        acc = acc + bs.f * lrad * w
+    return acc * (1.0 / float(ig.gather_samples))

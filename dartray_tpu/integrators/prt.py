@@ -81,25 +81,27 @@ def project_incident_radiance(scene: st.CompiledScene, p, lmax: int,
     geom = scene.geometry
     lt = scene.lights
     n = int(n_samples)
-    scr = jnp.asarray(
-        np.random.default_rng(seed).integers(0, 2 ** 32, 2, dtype=np.uint32))
+    scr_np = np.random.default_rng(seed).integers(0, 2 ** 32, 2,
+                                                  dtype=np.uint32)
+    scr = (jnp.uint32(int(scr_np[0])), jnp.uint32(int(scr_np[1])))
     idx = jnp.arange(n, dtype=jnp.uint32)
-    u = smp.sample02(idx, jnp.broadcast_to(scr, (n, 2)))
+    u = smp.sample02(idx, scr)
     d = smp.uniform_sample_sphere(u)
-    o = jnp.broadcast_to(jnp.asarray(p, jnp.float32), (n, 3))
+    pj = jnp.asarray(p, jnp.float32)
+    o = vm.bcast3(vm.V3(pj[0], pj[1], pj[2]), (n,))
     rays = vm.Rays(o=o, d=d, tmin=jnp.full((n,), 1e-4, jnp.float32),
                    tmax=jnp.full((n,), jnp.inf, jnp.float32),
                    time=jnp.zeros((n,), jnp.float32))
     hits = st.intersect(geom, rays)
-    L = jnp.zeros((n, 3), jnp.float32)
+    L = vm.v3zeros((n,))
     if lt is not None and lt.env_light_index >= 0:
-        L = L + jnp.where(hits.hit[:, None], 0.0, lt_mod.env_le(lt, d))
+        L = L + vm.where3(hits.hit, 0.0, lt_mod.env_le(lt, d))
     if lt is not None:
         it = st.interaction(geom, rays, hits)
         le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
-        L = L + jnp.where(hits.hit[:, None], le, 0.0)
+        L = L + vm.where3(hits.hit, le, 0.0)
     w = jnp.full((n,), FOUR_PI / n, jnp.float32)   # uniform-sphere pdf
-    return sh.project_directions(d, L, w, lmax)
+    return sh.project_directions(vm.to_arr(d), vm.to_arr(L), w, lmax)
 
 
 def _transfer_loop(scene, it, frame, hit_mask, lmax, n_samples, body_weight,
@@ -109,15 +111,15 @@ def _transfer_loop(scene, it, frame, hit_mask, lmax, n_samples, body_weight,
     body_weight(wi, cos_s, vis) -> (R, K) weights accumulated per sample.
     Returns the (R, K) MC mean * 4pi (uniform-sphere inverse pdf)."""
     geom = scene.geometry
-    r = it["p"].shape[0]
+    r = jnp.shape(it["t"])[0]
     eps = st.ray_epsilon(it["t"])
 
     def body(i, acc):
         wi = _ld_sphere_dirs(jnp.uint32(i), seed_scr)
-        wi = jnp.broadcast_to(wi, (r, 3))
+        wi = vm.bcast3(wi, (r,))
         cos_s = vm.dot(wi, frame.n)
         sray = vm.Rays(
-            o=it["p"] + vm.face_forward(it["ng"], wi) * eps[:, None],
+            o=it["p"] + vm.face_forward(it["ng"], wi) * eps,
             d=wi, tmin=jnp.zeros((r,), jnp.float32),
             tmax=jnp.full((r,), jnp.inf, jnp.float32),
             time=jnp.zeros((r,), jnp.float32))
@@ -127,11 +129,12 @@ def _transfer_loop(scene, it, frame, hit_mask, lmax, n_samples, body_weight,
 
     # a different wi per ray would need per-ray scrambles; the reference uses
     # one LD sequence per *pixel* — here per-ray scramble via pixel hash:
-    acc0 = body_weight(jnp.zeros((r, 3), jnp.float32),
-                       jnp.zeros((r,), jnp.float32),
-                       jnp.zeros((r,), bool)) * 0.0
+    zf = jnp.zeros((r,), jnp.float32)
+    acc0 = jax.tree_util.tree_map(
+        lambda a: a * 0.0,
+        body_weight(vm.V3(zf, zf, zf), zf, jnp.zeros((r,), bool)))
     acc = jax.lax.fori_loop(0, n_samples, body, acc0)
-    return acc * (FOUR_PI / n_samples)
+    return jax.tree_util.tree_map(lambda a: a * (FOUR_PI / n_samples), acc)
 
 
 def diffuse_li(ig: DiffusePRTIntegrator, scene: st.CompiledScene, rays,
@@ -139,7 +142,7 @@ def diffuse_li(ig: DiffusePRTIntegrator, scene: st.CompiledScene, rays,
     """L = rho/pi * dot(c_in, T_p), T_p = int V(p,w) max(0, n.w) Y(w) dw
     (diffuse_prt_integrator.dart Li)."""
     geom = scene.geometry
-    r = rays.o.shape[0]
+    r = rays.n
     hits = st.intersect(geom, rays)
     it = st.interaction(geom, rays, hits)
     # two-sided: transfer hemisphere on the viewer side (matte convention)
@@ -148,7 +151,7 @@ def diffuse_li(ig: DiffusePRTIntegrator, scene: st.CompiledScene, rays,
     params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                  scene.textures, it)
     T = sh.n_terms(ig.lmax)
-    scr = jnp.asarray(np.asarray([0x9e3779b9, 0x85ebca6b], np.uint32))
+    scr = (jnp.uint32(0x9e3779b9), jnp.uint32(0x85ebca6b))
 
     def w_fn(wi, cos_s, vis):
         Y = sh.eval_basis(wi, ig.lmax)                    # (R, T)
@@ -158,15 +161,15 @@ def diffuse_li(ig: DiffusePRTIntegrator, scene: st.CompiledScene, rays,
     transfer = _transfer_loop(scene, it, frame, hits.hit, ig.lmax,
                               ig.n_samples, w_fn, scr)     # (R, T)
     rho = params.kd                                        # diffuse albedo
-    E = transfer @ c_in                                    # (R, 3)
+    E = vm.from_arr(transfer @ c_in)                       # V3
     L = rho * E * (1.0 / np.pi)
-    le = jnp.zeros((r, 3), jnp.float32)
+    le = vm.v3zeros((r,))
     lt = scene.lights
     if lt is not None:
         le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
         if lt.env_light_index >= 0:
-            le = jnp.where(hits.hit[:, None], le, lt_mod.env_le(lt, rays.d))
-    return jnp.where(hits.hit[:, None], L + le, le)
+            le = vm.where3(hits.hit, le, lt_mod.env_le(lt, rays.d))
+    return vm.where3(hits.hit, L + le, le)
 
 
 def glossy_li(ig: GlossyPRTIntegrator, scene: st.CompiledScene, rays,
@@ -174,7 +177,7 @@ def glossy_li(ig: GlossyPRTIntegrator, scene: st.CompiledScene, rays,
     """MC of L(wo) = int f(wo,wi) V(wi) L_SH(wi) |cos| dwi — the integral the
     reference evaluates as K = B (R c_in) (glossy_prt_integrator.dart Li)."""
     geom = scene.geometry
-    r = rays.o.shape[0]
+    r = rays.n
     hits = st.intersect(geom, rays)
     it = st.interaction(geom, rays, hits)
     ns_v = vm.face_forward(it["ns"], it["wo"])
@@ -182,24 +185,24 @@ def glossy_li(ig: GlossyPRTIntegrator, scene: st.CompiledScene, rays,
     params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                  scene.textures, it)
     wo = it["wo"]
-    scr = jnp.asarray(np.asarray([0xc2b2ae35, 0x27d4eb2f], np.uint32))
+    scr = (jnp.uint32(0xc2b2ae35), jnp.uint32(0x27d4eb2f))
 
     def w_fn(wi, cos_s, vis):
         Y = sh.eval_basis(wi, ig.lmax)
-        L_in = jnp.maximum(Y @ c_in, 0.0)                  # (R, 3)
+        L_in = vm.from_arr(jnp.maximum(Y @ c_in, 0.0))     # V3
         f_v = bx.f(params, frame, wo, wi, bx.ALL & ~bx.SPECULAR)
         w = jnp.where(vis, jnp.abs(cos_s), 0.0)
-        return f_v * L_in * w[:, None]
+        return f_v * L_in * w
 
     L = _transfer_loop(scene, it, frame, hits.hit, ig.lmax, ig.n_samples,
                        w_fn, scr)
     lt = scene.lights
-    le = jnp.zeros((r, 3), jnp.float32)
+    le = vm.v3zeros((r,))
     if lt is not None:
         le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
         if lt.env_light_index >= 0:
-            le = jnp.where(hits.hit[:, None], le, lt_mod.env_le(lt, rays.d))
-    return jnp.where(hits.hit[:, None], L + le, le)
+            le = vm.where3(hits.hit, le, lt_mod.env_le(lt, rays.d))
+    return vm.where3(hits.hit, L + le, le)
 
 
 # --------------------------------------------------------------------------
@@ -228,14 +231,15 @@ class UseProbesIntegrator:
 
 
 def probe_lookup(probes: SHProbes, p):
-    """Trilinear interpolation of SH coefficients at points p (R, 3)."""
+    """Trilinear interpolation of SH coefficients at points p (V3)."""
+    p = vm.from_arr(p)
     nx, ny, nz = probes.res
     lo = probes.bbox_lo
     hi = probes.bbox_hi
-    g = (p - lo) / jnp.maximum(hi - lo, 1e-9)
-    gx = jnp.clip(g[:, 0] * nx - 0.5, 0.0, nx - 1.0)
-    gy = jnp.clip(g[:, 1] * ny - 0.5, 0.0, ny - 1.0)
-    gz = jnp.clip(g[:, 2] * nz - 0.5, 0.0, nz - 1.0)
+    ext = jnp.maximum(hi - lo, 1e-9)
+    gx = jnp.clip((p.x - lo[0]) / ext[0] * nx - 0.5, 0.0, nx - 1.0)
+    gy = jnp.clip((p.y - lo[1]) / ext[1] * ny - 0.5, 0.0, ny - 1.0)
+    gz = jnp.clip((p.z - lo[2]) / ext[2] * nz - 0.5, 0.0, nz - 1.0)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
     z0 = jnp.floor(gz).astype(jnp.int32)
@@ -265,7 +269,7 @@ def probes_li(ig: UseProbesIntegrator, scene: st.CompiledScene, rays, diffs,
     """E(n) via cosine-convolved interpolated coefficients; L = kd/pi * E
     (use_probes_integrator.dart Li)."""
     geom = scene.geometry
-    r = rays.o.shape[0]
+    r = rays.n
     hits = st.intersect(geom, rays)
     it = st.interaction(geom, rays, hits)
     params = mat_mod.eval_params(scene.materials, it["mat_id"],
@@ -275,12 +279,12 @@ def probes_li(ig: UseProbesIntegrator, scene: st.CompiledScene, rays, diffs,
     c = jnp.moveaxis(c, 0, 1)
     ns_v = vm.face_forward(it["ns"], it["wo"])
     Y = sh.eval_basis(ns_v, ig.lmax)                       # (R, T)
-    E = jnp.einsum("rt,rtc->rc", Y, c)
-    L = params.kd * jnp.maximum(E, 0.0) * (1.0 / np.pi)
+    E = vm.from_arr(jnp.einsum("rt,rtc->rc", Y, c))
+    L = params.kd * E.map(lambda a: jnp.maximum(a, 0.0)) * (1.0 / np.pi)
     lt = scene.lights
-    le = jnp.zeros((r, 3), jnp.float32)
+    le = vm.v3zeros((r,))
     if lt is not None:
         le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
         if lt.env_light_index >= 0:
-            le = jnp.where(hits.hit[:, None], le, lt_mod.env_le(lt, rays.d))
-    return jnp.where(hits.hit[:, None], L + le, le)
+            le = vm.where3(hits.hit, le, lt_mod.env_le(lt, rays.d))
+    return vm.where3(hits.hit, L + le, le)

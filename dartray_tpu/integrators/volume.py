@@ -40,20 +40,19 @@ class SingleScatteringIntegrator:
 
 
 def transmittance(vol, rays, u_offset, n_steps=32):
-    """T = exp(-tau) with jittered tau estimate (Appendix A.14)."""
+    """T = exp(-tau) with jittered tau estimate (Appendix A.14). V3."""
     if vol is None:
-        return jnp.ones(rays.o.shape, jnp.float32)
+        return vm.v3ones(jnp.shape(rays.tmin))
     t = vol_mod.tau(vol, rays, 1.0, u_offset, n_steps=n_steps)
-    return jnp.exp(-t)
+    return t.map(lambda c: jnp.exp(-c))
 
 
 def emission_li(ig: EmissionIntegrator, scene, rays, seg_tmax, sctx):
     """Lv = sum T(t_k) Lve(t_k) dt over [tmin, min(hit, tmax)]."""
     vol = scene.volume
-    r = rays.o.shape[0]
+    r = rays.n
     if vol is None:
-        return (jnp.zeros((r, 3), jnp.float32),
-                jnp.ones((r, 3), jnp.float32))
+        return (vm.v3zeros((r,)), vm.v3ones((r,)))
     seg = rays._replace(tmax=seg_tmax)
     t0, t1, hit = vol_mod.intersect_bounds(vol, seg)
     from .. import samplers as smp_mod
@@ -66,16 +65,15 @@ def emission_li(ig: EmissionIntegrator, scene, rays, seg_tmax, sctx):
         t = t0 + (k.astype(jnp.float32) + u) * dt
         p = seg.at(t)
         st = vol_mod.sigma_t(vol, p)
-        tr_ = jnp.exp(-tau_acc)
-        lv = lv + tr_ * vol_mod.lve(vol, p) * dt[:, None]
-        return (tau_acc + st * dt[:, None], lv)
+        tr_ = tau_acc.map(lambda c: jnp.exp(-c))
+        lv = lv + tr_ * vol_mod.lve(vol, p) * dt
+        return (tau_acc + st * dt, lv)
 
     tau_acc, lv = jax.lax.fori_loop(
-        0, ig.n_steps, body,
-        (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r, 3), jnp.float32)))
-    T = jnp.exp(-tau_acc)
-    lv = jnp.where(hit[:, None], lv, 0.0)
-    T = jnp.where(hit[:, None], T, 1.0)
+        0, ig.n_steps, body, (vm.v3zeros((r,)), vm.v3zeros((r,))))
+    T = tau_acc.map(lambda c: jnp.exp(-c))
+    lv = vm.where3(hit, lv, 0.0)
+    T = vm.where3(hit, T, 1.0)
     return lv, T
 
 
@@ -86,10 +84,9 @@ def single_scatter_li(ig: SingleScatteringIntegrator, scene, rays, seg_tmax,
     vol = scene.volume
     lt = scene.lights
     geom = scene.geometry
-    r = rays.o.shape[0]
+    r = rays.n
     if vol is None:
-        return (jnp.zeros((r, 3), jnp.float32),
-                jnp.ones((r, 3), jnp.float32))
+        return (vm.v3zeros((r,)), vm.v3ones((r,)))
     seg = rays._replace(tmax=seg_tmax)
     t0, t1, hit = vol_mod.intersect_bounds(vol, seg)
     from .. import samplers as smp_mod
@@ -106,9 +103,9 @@ def single_scatter_li(ig: SingleScatteringIntegrator, scene, rays, seg_tmax,
         t = t0 + (k.astype(jnp.float32) + u0) * dt
         p = seg.at(t)
         st = vol_mod.sigma_t(vol, p)
-        tr_ = jnp.exp(-tau_acc)
+        tr_ = tau_acc.map(lambda c: jnp.exp(-c))
         # emission
-        lv = lv + tr_ * vol_mod.lve(vol, p) * dt[:, None]
+        lv = lv + tr_ * vol_mod.lve(vol, p) * dt
         # direct in-scattering: one light, one sample per step
         if lt is not None and lt.n > 0:
             ss = vol_mod.sigma_s(vol, p)
@@ -124,16 +121,14 @@ def single_scatter_li(ig: SingleScatteringIntegrator, scene, rays, seg_tmax,
             occ = sct.intersect_p(geom, sray)
             tr_l = transmittance(vol, sray, sd(215 + 7 * k), n_steps=8)
             ph = vol_mod.phase(vol, p, w, ls.wi)
-            contrib = (ss * ph[:, None] * tr_l * ls.li * float(lt.n)
-                       / jnp.maximum(ls.pdf, 1e-20)[:, None])
-            lv = lv + tr_ * jnp.where(occ[:, None], 0.0, contrib) \
-                * dt[:, None]
-        return (tau_acc + st * dt[:, None], lv)
+            contrib = (ss * tr_l * ls.li
+                       * (ph * float(lt.n) / jnp.maximum(ls.pdf, 1e-20)))
+            lv = lv + tr_ * vm.where3(occ, 0.0, contrib) * dt
+        return (tau_acc + st * dt, lv)
 
     tau_acc, lv = jax.lax.fori_loop(
-        0, ig.n_steps, body,
-        (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r, 3), jnp.float32)))
-    T = jnp.exp(-tau_acc)
-    lv = jnp.where(hit[:, None], lv, 0.0)
-    T = jnp.where(hit[:, None], T, 1.0)
+        0, ig.n_steps, body, (vm.v3zeros((r,)), vm.v3zeros((r,))))
+    T = tau_acc.map(lambda c: jnp.exp(-c))
+    lv = vm.where3(hit, lv, 0.0)
+    T = vm.where3(hit, T, 1.0)
     return lv, T

@@ -23,6 +23,7 @@ from .. import materials as mat_mod
 from .. import samplers as smp_mod
 from ..accel import traverse
 from ..core import math as vm
+from ..core import spectrum as spec
 from ..scene import types as st
 from . import common
 
@@ -37,9 +38,9 @@ class WhittedIntegrator:
 def li(ig: WhittedIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
     geom = scene.geometry
     lt = scene.lights
-    r = rays.o.shape[0]
-    L = jnp.zeros((r, 3), jnp.float32)
-    throughput = jnp.ones((r, 3), jnp.float32)
+    r = rays.n
+    L = vm.v3zeros((r,))
+    throughput = vm.v3ones((r,))
     active = jnp.ones((r,), bool)
     cur = rays
     dim = 5
@@ -47,7 +48,7 @@ def li(ig: WhittedIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
         hits = st.intersect(geom, cur)
         hit = hits.hit & active
         if lt is not None and lt.env_light_index >= 0:
-            L = L + jnp.where((active & ~hits.hit)[:, None],
+            L = L + vm.where3(active & ~hits.hit,
                               throughput * lt_mod.env_le(lt, cur.d), 0.0)
         it = st.interaction(geom, cur, hits,
                             diffs=diffs if depth == 0 else None)
@@ -56,7 +57,7 @@ def li(ig: WhittedIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
         if lt is not None:
             le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
-            L = L + jnp.where(hit[:, None], throughput * le, 0.0)
+            L = L + vm.where3(hit, throughput * le, 0.0)
         params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                      scene.textures, it)
         wo = it["wo"]
@@ -74,14 +75,14 @@ def li(ig: WhittedIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
                 f_l = bx.f(params, frame, wo, ls.wi,
                            bx.ALL & ~bx.SPECULAR)
                 cos_l = vm.absdot(ls.wi, frame.n)
-                usable = (ls.pdf > 0.0) & jnp.any(ls.li != 0.0, axis=-1) \
-                    & jnp.any(f_l != 0.0, axis=-1)
+                usable = (ls.pdf > 0.0) & spec.any_nonzero(ls.li) \
+                    & spec.any_nonzero(f_l)
                 sray = common.shadow_ray(it["p"], it["ng"], frame.n, ls.wi,
                                          ls.dist, eps)
                 occluded = st.intersect_p(geom, sray)
                 contrib = f_l * ls.li * (cos_l
-                                         / jnp.maximum(ls.pdf, 1e-20))[:, None]
-                L = L + jnp.where((hit & usable & ~occluded)[:, None],
+                                         / jnp.maximum(ls.pdf, 1e-20))
+                L = L + vm.where3(hit & usable & ~occluded,
                                   throughput * contrib, 0.0)
         if depth == ig.max_depth:
             break
@@ -93,14 +94,14 @@ def li(ig: WhittedIntegrator, scene: st.CompiledScene, rays, diffs, sctx):
         bs = bx.sample_f(params, frame, wo, u_s, uc_s,
                          flags=bx.SPECULAR | bx.REFLECTION | bx.TRANSMISSION)
         cos_s = vm.absdot(bs.wi, frame.n)
-        cont = hit & bs.valid & (bs.pdf > 0.0) & jnp.any(bs.f != 0.0, axis=-1)
-        throughput = jnp.where(
-            cont[:, None],
-            throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))[:, None],
+        cont = hit & bs.valid & (bs.pdf > 0.0) & spec.any_nonzero(bs.f)
+        throughput = vm.where3(
+            cont,
+            throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20)),
             throughput)
         eps = st.ray_epsilon(it["t"])
         ng_f = vm.face_forward(it["ng"], bs.wi)
-        cur = vm.Rays(o=it["p"] + ng_f * eps[:, None], d=bs.wi,
+        cur = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
                       tmin=jnp.zeros((r,), jnp.float32),
                       tmax=jnp.full((r,), jnp.inf, jnp.float32),
                       time=cur.time)

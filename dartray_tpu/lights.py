@@ -212,8 +212,11 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
     if spec.mode() == "sampled":
         # RGB map files -> band averages (importance luminance recomputed
         # below from the banded radiance)
-        env_map = spec.rgb_to_bands(env_map).astype(np.float32)
-        proj_map = spec.rgb_to_bands(proj_map).astype(np.float32)
+        # light maps are ILLUMINANTS: D65-shaped basis (spectrum.rgb_to_bands)
+        env_map = spec.rgb_to_bands(env_map, illuminant=True) \
+            .astype(np.float32)
+        proj_map = spec.rgb_to_bands(proj_map, illuminant=True) \
+            .astype(np.float32)
     he, we = env_map.shape[:2]
     lum_w = (spec.BANDS_TO_XYZ[1] if spec.mode() == "sampled"
              else spec.RGB_TO_XYZ[1])
@@ -238,29 +241,58 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
         n=len(specs), env_light_index=env_idx, env_w=we, env_h=he)
 
 
+from .core.math import V3, V2
+
+
+def _g3(a, idx):
+    """(L, 3) table -> V3 of (R,) component gathers (lane-packed)."""
+    return V3(a[:, 0][idx], a[:, 1][idx], a[:, 2][idx])
+
+
+def _w2l_rows(lt: LightTable, idx):
+    """Per-ray world->light 3x4 rows as component gathers."""
+    return [[lt.w2l[:, i, j][idx] for j in range(4)] for i in range(3)]
+
+
+def _rows_xform_v(mr, v: V3) -> V3:
+    return V3(mr[0][0] * v.x + mr[0][1] * v.y + mr[0][2] * v.z,
+              mr[1][0] * v.x + mr[1][1] * v.y + mr[1][2] * v.z,
+              mr[2][0] * v.x + mr[2][1] * v.y + mr[2][2] * v.z)
+
+
+def _rows_xform_v_t(mr, v: V3) -> V3:
+    """Transpose (light->world rotation) applied to v."""
+    return V3(mr[0][0] * v.x + mr[1][0] * v.y + mr[2][0] * v.z,
+              mr[0][1] * v.x + mr[1][1] * v.y + mr[2][1] * v.z,
+              mr[0][2] * v.x + mr[1][2] * v.y + mr[2][2] * v.z)
+
+
 class LiSample(NamedTuple):
-    wi: jnp.ndarray        # (R, 3) direction to light
-    li: jnp.ndarray        # (R, 3) incident radiance
+    wi: V3                 # direction to light
+    li: V3                 # incident radiance
     pdf: jnp.ndarray       # (R,) solid-angle pdf
     dist: jnp.ndarray      # (R,) shadow-ray length
     is_delta: jnp.ndarray  # (R,) bool
 
 
-def _env_lookup(lt: LightTable, uv):
+def _env_lookup(lt: LightTable, u, v):
     """Bilinear texel fetch of the lat-long radiance map (MIPMap.lookup on
     the envmap, infinite_area_light.dart Le/sampleL): phi wraps, theta
-    clamps."""
-    xx = uv[..., 0] * lt.env_w - 0.5
-    yy = uv[..., 1] * lt.env_h - 0.5
+    clamps. u/v (R,) -> V3."""
+    xx = u * lt.env_w - 0.5
+    yy = v * lt.env_h - 0.5
     x0 = jnp.floor(xx).astype(jnp.int32)
     y0 = jnp.floor(yy).astype(jnp.int32)
-    fx = (xx - x0)[..., None]
-    fy = (yy - y0)[..., None]
+    fx = xx - x0
+    fy = yy - y0
+    flat = jnp.asarray(lt.env_map).reshape(-1, 3)
+    er, eg, eb = flat[:, 0], flat[:, 1], flat[:, 2]
 
     def at(x, y):
         x = x % lt.env_w                              # phi wraps
         y = jnp.clip(y, 0, lt.env_h - 1)              # theta clamps
-        return lt.env_map[y, x]
+        i = y * lt.env_w + x
+        return V3(er[i], eg[i], eb[i])
 
     c00 = at(x0, y0)
     c10 = at(x0 + 1, y0)
@@ -272,9 +304,10 @@ def _env_lookup(lt: LightTable, uv):
 
 def _env_sample(lt: LightTable, u):
     """Distribution2D sample over the lat-long map -> (dir_l, L, pdf_sa)."""
+    u = vm.from_arr2(u)
     nu, nv = lt.env_w, lt.env_h
     # marginal over v
-    u0, u1 = u[..., 0], u[..., 1]
+    u0, u1 = u.x, u.y
     v_off = jnp.clip(jnp.searchsorted(lt.env_marg_cdf, u1, side="right") - 1,
                      0, nv - 1)
     mlo = lt.env_marg_cdf[v_off]
@@ -282,47 +315,62 @@ def _env_sample(lt: LightTable, u):
     dv = (u1 - mlo) / jnp.maximum(mhi - mlo, 1e-30)
     pdf_v = lt.env_marg_func[v_off] / jnp.maximum(lt.env_marg_int, 1e-30)
     v = (v_off.astype(jnp.float32) + dv) / nv
-    row_cdf = lt.env_cond_cdf[v_off]
-    u_off = jnp.clip(
-        jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(
-            row_cdf.reshape(-1, nu + 1), u0.reshape(-1)).reshape(u0.shape)
-        - 1, 0, nu - 1)
-    clo = jnp.take_along_axis(row_cdf, u_off[..., None], axis=-1)[..., 0]
-    chi = jnp.take_along_axis(row_cdf, u_off[..., None] + 1, axis=-1)[..., 0]
+    # conditional over u given row v_off: binary search on the flat cdf
+    # (fixed-trip; avoids the (R, nu+1) row-gather a vmap'd searchsorted
+    # materializes)
+    flat_cdf = jnp.asarray(lt.env_cond_cdf).reshape(-1)
+    base = v_off * (nu + 1)
+    left = jnp.zeros_like(v_off)
+    right = jnp.full_like(v_off, nu)
+    n_iter = int(np.ceil(np.log2(max(nu + 1, 2)))) + 1
+
+    def bs(_, lr):
+        l_, r_ = lr
+        mid = (l_ + r_) // 2
+        go = flat_cdf[base + mid] <= u0
+        return jnp.where(go, mid + 1, l_), jnp.where(go, r_, mid)
+
+    left, _ = jax.lax.fori_loop(0, n_iter, bs, (left, right))
+    u_off = jnp.clip(left - 1, 0, nu - 1)
+    clo = flat_cdf[base + u_off]
+    chi = flat_cdf[base + u_off + 1]
     du = (u0 - clo) / jnp.maximum(chi - clo, 1e-30)
-    pdf_u = lt.env_cond_func[v_off, u_off] / jnp.maximum(
-        lt.env_cond_int[v_off], 1e-30)
+    pdf_u = jnp.asarray(lt.env_cond_func).reshape(-1)[v_off * nu + u_off] \
+        / jnp.maximum(jnp.asarray(lt.env_cond_int)[v_off], 1e-30)
     uu = (u_off.astype(jnp.float32) + du) / nu
     map_pdf = pdf_u * pdf_v
     theta = v * jnp.pi
     phi = uu * 2.0 * jnp.pi
     sin_t = jnp.sin(theta)
-    dir_l = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
-                       jnp.cos(theta)], axis=-1)
+    dir_l = V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta))
     pdf_sa = map_pdf / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t, 1e-8)
-    L = _env_lookup(lt, jnp.stack([uu, v], axis=-1))
+    L = _env_lookup(lt, uu, v)
     return dir_l, L, jnp.where(sin_t > 1e-8, pdf_sa, 0.0)
 
 
-def env_le(lt: LightTable, d_world):
+def env_le(lt: LightTable, d_world: V3) -> V3:
     """Escaped-ray radiance Le(ray) for the infinite light
     (infinite_area_light.dart Le)."""
+    d_world = vm.from_arr(d_world)
     if lt.env_light_index < 0:
-        return jnp.zeros(d_world.shape, jnp.float32)
+        z = jnp.zeros(jnp.shape(d_world.x), jnp.float32)
+        return V3(z, z, z)
     w2l = lt.w2l[lt.env_light_index]
-    d = vm.normalize(d_world @ w2l[:3, :3].T)
-    uv = jnp.stack([vm.spherical_phi(d) * (0.5 / jnp.pi),
-                    vm.spherical_theta(d) / jnp.pi], axis=-1)
-    return _env_lookup(lt, uv) * lt.intensity[lt.env_light_index]
+    d = vm.normalize(vm.xform_vector3(w2l, d_world))
+    u = vm.spherical_phi(d) * (0.5 / jnp.pi)
+    v = vm.spherical_theta(d) / jnp.pi
+    inten = lt.intensity[lt.env_light_index]
+    return _env_lookup(lt, u, v) * V3(inten[0], inten[1], inten[2])
 
 
-def env_pdf(lt: LightTable, d_world):
+def env_pdf(lt: LightTable, d_world: V3):
     """Solid-angle pdf of sampling direction d from the envmap
     (infinite_area_light.dart:190-204)."""
+    d_world = vm.from_arr(d_world)
     if lt.env_light_index < 0:
-        return jnp.zeros(d_world.shape[:-1], jnp.float32)
+        return jnp.zeros(jnp.shape(d_world.x), jnp.float32)
     w2l = lt.w2l[lt.env_light_index]
-    d = vm.normalize(d_world @ w2l[:3, :3].T)
+    d = vm.normalize(vm.xform_vector3(w2l, d_world))
     theta = vm.spherical_theta(d)
     phi = vm.spherical_phi(d)
     sin_t = jnp.sin(theta)
@@ -330,67 +378,76 @@ def env_pdf(lt: LightTable, d_world):
                   0, lt.env_w - 1)
     iv = jnp.clip((theta / jnp.pi * lt.env_h).astype(jnp.int32),
                   0, lt.env_h - 1)
-    map_pdf = lt.env_cond_func[iv, iu] / jnp.maximum(lt.env_marg_int, 1e-30)
+    map_pdf = jnp.asarray(lt.env_cond_func).reshape(-1)[iv * lt.env_w + iu] \
+        / jnp.maximum(lt.env_marg_int, 1e-30)
     return jnp.where(sin_t > 1e-8,
                      map_pdf / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t,
                                            1e-8), 0.0)
 
 
-def sample_li(lt: LightTable, geom, light_idx, p_surf, u, uc=None) -> LiSample:
+def sample_li(lt: LightTable, geom, light_idx, p_surf: V3, u,
+              uc=None) -> LiSample:
     """Per-ray light sampling (Light.sampleLAtPoint, light.dart:60-97).
 
     geom: scene geometry (for area-light triangle lookup). light_idx: (R,)
-    int32. u: (R, 2). uc: optional (R,) component sample for triangle choice
-    (LightSample.uComponent).
+    int32. u: V2 (or (R, 2)). uc: optional (R,) component sample for
+    triangle choice (LightSample.uComponent).
     """
+    u = vm.from_arr2(u)
+    p_surf = vm.from_arr(p_surf)
     li_ = jnp.maximum(light_idx, 0)
     kind = lt.kind[li_]
-    lp = lt.p[li_]
-    inten = lt.intensity[li_]
-    prm = lt.params[li_]
-    w2l = lt.w2l[li_]
-    r = p_surf.shape[0]
+    lp = _g3(lt.p, li_)
+    inten = _g3(lt.intensity, li_)
+    w2l = _w2l_rows(lt, li_)
+    r = jnp.shape(p_surf.x)[0]
     if uc is None:
-        uc = u[..., 0]  # reference draws a separate uComponent; reuse is fine
+        uc = u.x  # reference draws a separate uComponent; reuse is fine
 
     # --- point / spot / projection / goniometric (delta, at position) -----
     to_l = lp - p_surf
     d2 = jnp.maximum(vm.length_sq(to_l), 1e-12)
     dist = jnp.sqrt(d2)
-    wi_point = to_l / dist[..., None]
-    li_point = inten / d2[..., None]
+    wi_point = to_l * (1.0 / dist)
+    li_point = inten * (1.0 / d2)
     # spot falloff (spot_light.dart:131 falloff): local -wi angle vs cone
-    wl = vm.normalize(jnp.einsum("rij,rj->ri", w2l[:, :3, :3], -wi_point))
-    cos_t = wl[..., 2]
-    ct, cf = prm[..., 0], prm[..., 1]
+    wl = vm.normalize(_rows_xform_v(w2l, -wi_point))
+    cos_t = wl.z
+    ct = lt.params[:, 0][li_]
+    cf = lt.params[:, 1][li_]
     delta = (cos_t - ct) / jnp.maximum(cf - ct, 1e-8)
     falloff = jnp.clip(delta, 0.0, 1.0) ** 4
     falloff = jnp.where(cos_t < ct, 0.0, jnp.where(cos_t > cf, 1.0, falloff))
-    li_spot = li_point * falloff[..., None]
+    li_spot = li_point * falloff
     # projection: map lookup in projective coords
-    s1, s0 = prm[..., 1], prm[..., 2]
+    s1 = lt.params[:, 1][li_]
+    s0 = lt.params[:, 2][li_]
     pz = jnp.maximum(cos_t, 1e-6)
-    px_ = wl[..., 0] / pz
-    py_ = wl[..., 1] / pz
-    inside = ((cos_t > prm[..., 0]) & (jnp.abs(px_) < s1 + 1e-9)
+    px_ = wl.x / pz
+    py_ = wl.y / pz
+    inside = ((cos_t > ct) & (jnp.abs(px_) < s1 + 1e-9)
               & (jnp.abs(py_) < s0 + 1e-9))
-    puv = jnp.stack([(px_ / jnp.maximum(s1, 1e-9) + 1) * 0.5,
-                     (py_ / jnp.maximum(s0, 1e-9) + 1) * 0.5], axis=-1)
+    pu = (px_ / jnp.maximum(s1, 1e-9) + 1) * 0.5
+    pv = (py_ / jnp.maximum(s0, 1e-9) + 1) * 0.5
     hp, wp = lt.proj_map.shape[0], lt.proj_map.shape[1]
-    pxi = jnp.clip((puv[..., 0] * wp).astype(jnp.int32), 0, wp - 1)
-    pyi = jnp.clip((puv[..., 1] * hp).astype(jnp.int32), 0, hp - 1)
-    proj_tex = lt.proj_map[pyi, pxi]
-    li_proj = li_point * jnp.where(inside[..., None], proj_tex, 0.0)
+    pflat = jnp.asarray(lt.proj_map).reshape(-1, 3)
+    pr, pg, pb = pflat[:, 0], pflat[:, 1], pflat[:, 2]
+    pxi = jnp.clip((pu * wp).astype(jnp.int32), 0, wp - 1)
+    pyi = jnp.clip((pv * hp).astype(jnp.int32), 0, hp - 1)
+    pi_ = pyi * wp + pxi
+    proj_tex = V3(pr[pi_], pg[pi_], pb[pi_])
+    li_proj = li_point * vm.where3(inside, proj_tex, 0.0)
     # goniometric: lat-long of local direction
     gphi = vm.spherical_phi(wl) * (0.5 / jnp.pi)
     gth = vm.spherical_theta(wl) / jnp.pi
     gxi = jnp.clip((gphi * wp).astype(jnp.int32), 0, wp - 1)
     gyi = jnp.clip((gth * hp).astype(jnp.int32), 0, hp - 1)
-    li_gonio = li_point * lt.proj_map[gyi, gxi]
+    gi_ = gyi * wp + gxi
+    li_gonio = li_point * V3(pr[gi_], pg[gi_], pb[gi_])
 
     # --- distant (delta, at infinity) -------------------------------------
-    wi_dist = jnp.broadcast_to(lp, (r, 3))
-    li_dist = jnp.broadcast_to(inten, (r, 3))
+    wi_dist = lp
+    li_dist = inten
 
     # --- area: CDF-sample a triangle, uniform barycentric -----------------
     nt = jnp.maximum(lt.tri_count[li_], 1)
@@ -414,38 +471,36 @@ def sample_li(lt: LightTable, geom, light_idx, p_surf, u, uc=None) -> LiSample:
     tri_k = jnp.clip(left - 1, 0, nt - 1)
     tri_id = lt.tri_offset[li_] + tri_k
     b1, b2 = smp.uniform_sample_triangle(u)
-    tv0 = geom.v0[tri_id]
-    te1 = geom.e1[tri_id]
-    te2 = geom.e2[tri_id]
-    ps = tv0 + te1 * b1[..., None] + te2 * b2[..., None]
+    tv0 = vm.gather3(geom.v0, tri_id)
+    te1 = vm.gather3(geom.e1, tri_id)
+    te2 = vm.gather3(geom.e2, tri_id)
+    ps = tv0 + te1 * b1 + te2 * b2
     ns = vm.normalize(vm.cross(te1, te2))
     to_s = ps - p_surf
     d2a = jnp.maximum(vm.length_sq(to_s), 1e-12)
     dist_a = jnp.sqrt(d2a)
-    wi_area = to_s / dist_a[..., None]
+    wi_area = to_s * (1.0 / dist_a)
     cos_l = vm.dot(ns, -wi_area)
     # one-sided emission L(p,n,w) (diffuse_area_light.dart L)
-    li_area = jnp.where((cos_l > 0)[..., None], inten, 0.0)
+    li_area = vm.where3(cos_l > 0, inten, 0.0)
     # pdf: uniform-by-area -> solid angle (shape.dart pdf2: dist^2/(cos*A))
     pdf_area = d2a / jnp.maximum(jnp.abs(cos_l) * lt.total_area[li_], 1e-9)
 
     # --- infinite ---------------------------------------------------------
     dir_l, li_env, pdf_env = _env_sample(lt, u)
-    l2w = jnp.transpose(w2l[:, :3, :3], (0, 2, 1))
-    wi_env = vm.normalize(jnp.einsum("rij,rj->ri", l2w, dir_l))
+    wi_env = vm.normalize(_rows_xform_v_t(w2l, dir_l))
     li_env = li_env * inten
 
     # --- select by kind ---------------------------------------------------
-    k = kind[..., None]
-    wi = jnp.where(k == DISTANT, wi_dist,
-         jnp.where(k == AREA, wi_area,
-         jnp.where(k == INFINITE, wi_env, wi_point)))
-    li_v = jnp.where(k == SPOT, li_spot,
-           jnp.where(k == DISTANT, li_dist,
-           jnp.where(k == AREA, li_area,
-           jnp.where(k == INFINITE, li_env,
-           jnp.where(k == PROJECTION, li_proj,
-           jnp.where(k == GONIOMETRIC, li_gonio, li_point))))))
+    wi = vm.where3(kind == DISTANT, wi_dist,
+         vm.where3(kind == AREA, wi_area,
+         vm.where3(kind == INFINITE, wi_env, wi_point)))
+    li_v = vm.where3(kind == SPOT, li_spot,
+           vm.where3(kind == DISTANT, li_dist,
+           vm.where3(kind == AREA, li_area,
+           vm.where3(kind == INFINITE, li_env,
+           vm.where3(kind == PROJECTION, li_proj,
+           vm.where3(kind == GONIOMETRIC, li_gonio, li_point))))))
     pdf = jnp.where(kind == AREA, pdf_area,
           jnp.where(kind == INFINITE, pdf_env, jnp.ones((r,), jnp.float32)))
     dist_out = jnp.where(kind == DISTANT, INF_DIST,
@@ -464,21 +519,21 @@ def pdf_li_area(lt: LightTable, light_idx, p_surf, wi, hit_t, hit_cos):
         hit_cos * lt.total_area[jnp.maximum(light_idx, 0)], 1e-9)
 
 
-def le_emitted(lt: LightTable, geom, prim_id, wo, ns):
+def le_emitted(lt: LightTable, geom, prim_id, wo: V3, ns: V3) -> V3:
     """Emitted radiance when a ray hits an emissive prim
     (intersection.dart Le / diffuse_area_light L)."""
     lid = geom.light_id[jnp.maximum(prim_id, 0)]
     emissive = (prim_id >= 0) & (lid >= 0)
-    l_emit = lt.intensity[jnp.maximum(lid, 0)]
+    l_emit = _g3(lt.intensity, jnp.maximum(lid, 0))
     facing = vm.dot(ns, wo) > 0.0
-    return jnp.where((emissive & facing)[..., None], l_emit, 0.0)
+    return vm.where3(emissive & facing, l_emit, 0.0)
 
 
 class LeSample(NamedTuple):
     """Photon-emission sample (Light.sampleL(scene, ...), light.dart:98+)."""
-    o: jnp.ndarray        # (R, 3) ray origin
-    d: jnp.ndarray        # (R, 3) ray direction
-    alpha: jnp.ndarray    # (R, 3) power / (pdf_pos * pdf_dir * light_pdf)
+    o: V3                 # ray origin
+    d: V3                 # ray direction
+    alpha: V3             # power / (pdf_pos * pdf_dir * light_pdf)
 
 
 def sample_light_index(lt: LightTable, u):
@@ -498,42 +553,43 @@ def sample_le(lt: LightTable, geom, light_idx, light_pdf,
     alpha carries radiance/intensity over all pdfs so that sum(alpha) over
     photons estimates total power.
     """
+    u_pos = vm.from_arr2(u_pos)
+    u_dir = vm.from_arr2(u_dir)
     li_ = jnp.maximum(light_idx, 0)
     kind = lt.kind[li_]
-    lp = lt.p[li_]
-    inten = lt.intensity[li_]
-    prm = lt.params[li_]
-    w2l = lt.w2l[li_]
+    lp = _g3(lt.p, li_)
+    inten = _g3(lt.intensity, li_)
+    w2l = _w2l_rows(lt, li_)
     r = light_idx.shape[0]
-    radius = lt.scene_radius
-    center = jnp.zeros((3,), jnp.float32)   # world bound assumed centered;
-    # distant/infinite use geometry's bound center instead:
+    # distant/infinite use geometry's bound center:
     wb = geom.world_bound
-    center = 0.5 * (wb[0] + wb[1])
-    radius = 0.5 * jnp.linalg.norm(wb[1] - wb[0]) + 1e-3
+    center = vm.V3(0.5 * (wb[0, 0] + wb[1, 0]), 0.5 * (wb[0, 1] + wb[1, 1]),
+                   0.5 * (wb[0, 2] + wb[1, 2]))
+    radius = 0.5 * jnp.sqrt((wb[1, 0] - wb[0, 0]) ** 2
+                            + (wb[1, 1] - wb[0, 1]) ** 2
+                            + (wb[1, 2] - wb[0, 2]) ** 2) + 1e-3
 
     # POINT: uniform sphere direction from position
     d_sph = smp.uniform_sample_sphere(u_dir)
     alpha_point = inten * (1.0 / smp.UNIFORM_SPHERE_PDF)
 
-    # SPOT: uniform cone around local -z?? spot shines along light-space +z
-    ct = prm[..., 0]
+    # SPOT: uniform cone around light-space +z
+    ct = lt.params[:, 0][li_]
     d_cone_l = smp.uniform_sample_cone(u_dir, ct)
-    l2w = jnp.transpose(w2l[:, :3, :3], (0, 2, 1))
-    d_spot = vm.normalize(jnp.einsum("rij,rj->ri", l2w, d_cone_l))
+    d_spot = vm.normalize(_rows_xform_v_t(w2l, d_cone_l))
     # falloff at sampled angle
-    cos_s = d_cone_l[..., 2]
-    cf = prm[..., 1]
+    cos_s = d_cone_l.z
+    cf = lt.params[:, 1][li_]
     delta = jnp.clip((cos_s - ct) / jnp.maximum(cf - ct, 1e-8), 0.0, 1.0)
     falloff = jnp.where(cos_s < ct, 0.0,
                         jnp.where(cos_s > cf, 1.0, delta ** 4))
-    alpha_spot = inten * (falloff / smp.uniform_cone_pdf(ct))[..., None]
+    alpha_spot = inten * (falloff / smp.uniform_cone_pdf(ct))
 
     # DISTANT: origin on a world-radius disk, direction = -light dir
     dx, dy = smp.concentric_sample_disk(u_pos)
     ldir = vm.normalize(lp)                       # stored direction TO light
     t1, t2 = vm.coordinate_system(ldir)
-    o_dist = center + radius * (ldir + dx[..., None] * t1 + dy[..., None] * t2)
+    o_dist = center + (ldir + t1 * dx + t2 * dy) * radius
     d_dist = -ldir
     area_disk = jnp.pi * radius * radius
     alpha_dist = inten * area_disk
@@ -557,39 +613,35 @@ def sample_le(lt: LightTable, geom, light_idx, light_pdf,
     tri_k = jnp.clip(left - 1, 0, nt - 1)
     tri_id = lt.tri_offset[li_] + tri_k
     b1, b2 = smp.uniform_sample_triangle(u_pos)
-    tv0 = geom.v0[tri_id]
-    te1 = geom.e1[tri_id]
-    te2 = geom.e2[tri_id]
-    p_area = tv0 + te1 * b1[..., None] + b2[..., None] * te2
+    tv0 = vm.gather3(geom.v0, tri_id)
+    te1 = vm.gather3(geom.e1, tri_id)
+    te2 = vm.gather3(geom.e2, tri_id)
+    p_area = tv0 + te1 * b1 + te2 * b2
     n_area = vm.normalize(vm.cross(te1, te2))
     d_loc = smp.cosine_sample_hemisphere(u_dir)
     ta1, ta2 = vm.coordinate_system(n_area)
-    d_area = vm.normalize(d_loc[..., 0:1] * ta1 + d_loc[..., 1:2] * ta2
-                          + d_loc[..., 2:3] * n_area)
+    d_area = vm.normalize(ta1 * d_loc.x + ta2 * d_loc.y + n_area * d_loc.z)
     # alpha = L * cos / (pdf_pos * pdf_dir) = L * pi * A
-    alpha_area = inten * (jnp.pi * lt.total_area[li_])[..., None]
+    alpha_area = inten * (jnp.pi * lt.total_area[li_])
 
     # INFINITE: env-CDF direction toward scene; origin on far disk
     dir_l, li_env, pdf_env = _env_sample(lt, u_dir)
-    d_env = -vm.normalize(jnp.einsum("rij,rj->ri", l2w, dir_l))
+    d_env = -vm.normalize(_rows_xform_v_t(w2l, dir_l))
     t1e, t2e = vm.coordinate_system(d_env)
-    o_env = center - radius * d_env + radius * (dx[..., None] * t1e
-                                                + dy[..., None] * t2e)
-    alpha_env = (li_env * inten * area_disk
-                 / jnp.maximum(pdf_env, 1e-9)[..., None])
+    o_env = center - d_env * radius + (t1e * dx + t2e * dy) * radius
+    alpha_env = (li_env * inten * (area_disk
+                                   / jnp.maximum(pdf_env, 1e-9)))
 
-    k = kind[..., None]
-    o = jnp.where(k == DISTANT, o_dist,
-        jnp.where(k == AREA, p_area + n_area * 1e-4,
-        jnp.where(k == INFINITE, o_env,
-                  jnp.broadcast_to(lp, (r, 3)))))
-    d = jnp.where(k == SPOT, d_spot,
-        jnp.where(k == DISTANT, jnp.broadcast_to(d_dist, (r, 3)),
-        jnp.where(k == AREA, d_area,
-        jnp.where(k == INFINITE, d_env, d_sph))))
-    alpha = jnp.where(k == SPOT, alpha_spot,
-            jnp.where(k == DISTANT, alpha_dist,
-            jnp.where(k == AREA, alpha_area,
-            jnp.where(k == INFINITE, alpha_env, alpha_point))))
-    alpha = alpha / light_pdf[..., None]
+    o = vm.where3(kind == DISTANT, o_dist,
+        vm.where3(kind == AREA, p_area + n_area * 1e-4,
+        vm.where3(kind == INFINITE, o_env, lp)))
+    d = vm.where3(kind == SPOT, d_spot,
+        vm.where3(kind == DISTANT, d_dist,
+        vm.where3(kind == AREA, d_area,
+        vm.where3(kind == INFINITE, d_env, d_sph))))
+    alpha = vm.where3(kind == SPOT, alpha_spot,
+            vm.where3(kind == DISTANT, alpha_dist,
+            vm.where3(kind == AREA, alpha_area,
+            vm.where3(kind == INFINITE, alpha_env, alpha_point))))
+    alpha = alpha * (1.0 / light_pdf)
     return LeSample(o=o, d=vm.normalize(d), alpha=alpha)

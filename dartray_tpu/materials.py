@@ -229,21 +229,34 @@ def build_table(rows: List[dict]) -> MaterialTable:
         has_measured=bool(pool))
 
 
+def _g3(a, m):
+    """Color-column gather: (M, 3) table -> V3 of (R,) (component-SoA —
+    three lane-packed gathers instead of one 3-wide row gather)."""
+    from .core.math import V3
+    return V3(a[:, 0][m], a[:, 1][m], a[:, 2][m])
+
+
 def eval_params(table: MaterialTable, mat_id, textures=None,
                 it=None) -> bsdf.BSDFParams:
     """Gather per-ray BSDFParams; texture overrides applied when a texture
     system + interaction are provided (material.getBSDF texture evaluation,
     e.g. matte_material.dart:42-66)."""
+    from .core.math import V3
     m = jnp.maximum(mat_id, 0)
+    meas = None
+    if table.has_measured:
+        pool = V3(table.meas_pool[:, 0], table.meas_pool[:, 1],
+                  table.meas_pool[:, 2])
+        meas = (table.meas_meta[m], pool)
     p = bsdf.BSDFParams(
-        kd=table.kd[m], sigma=table.sigma[m], kd_t=table.kd_t[m],
-        ks=table.ks[m], exponent=table.exponent[m],
+        kd=_g3(table.kd, m), sigma=table.sigma[m], kd_t=_g3(table.kd_t, m),
+        ks=_g3(table.ks, m), exponent=table.exponent[m],
         exponent_v=table.exponent_v[m],
-        gloss_fresnel=table.gloss_fresnel[m], ks_t=table.ks_t[m],
-        kr=table.kr[m], spec_fresnel=table.spec_fresnel[m], kt=table.kt[m],
-        eta=table.eta[m], eta_c=table.eta_c[m], k_c=table.k_c[m],
-        meas=((table.meas_meta[m], table.meas_pool)
-              if table.has_measured else None))
+        gloss_fresnel=table.gloss_fresnel[m], ks_t=_g3(table.ks_t, m),
+        kr=_g3(table.kr, m), spec_fresnel=table.spec_fresnel[m],
+        kt=_g3(table.kt, m),
+        eta=table.eta[m], eta_c=_g3(table.eta_c, m), k_c=_g3(table.k_c, m),
+        meas=meas)
     used = table.used_tex_slots
     if textures is not None and it is not None and used:
         from . import textures as tex_mod
@@ -258,12 +271,12 @@ def eval_params(table: MaterialTable, mat_id, textures=None,
         if TEX_KT in used:
             upd["kt"] = tex_mod.eval_or(textures, tid[:, TEX_KT], it, p.kt)
         if TEX_SIGMA in used:
-            upd["sigma"] = tex_mod.eval_or(
-                textures, tid[:, TEX_SIGMA], it, p.sigma[:, None])[:, 0]
+            upd["sigma"] = tex_mod.eval_or_scalar(
+                textures, tid[:, TEX_SIGMA], it, p.sigma)
         if TEX_ROUGH in used:
-            new_exp = 1.0 / jnp.maximum(tex_mod.eval_or(
+            new_exp = 1.0 / jnp.maximum(tex_mod.eval_or_scalar(
                 textures, tid[:, TEX_ROUGH], it,
-                (1.0 / jnp.maximum(p.exponent, 1e-4))[:, None])[:, 0], 1e-4)
+                1.0 / jnp.maximum(p.exponent, 1e-4)), 1e-4)
             upd["exponent"] = new_exp
             # textured roughness applies to both axes of isotropic materials
             upd["exponent_v"] = jnp.where(p.exponent_v == p.exponent,
@@ -287,15 +300,17 @@ def bump_shading_normal(table: MaterialTable, mat_id, textures, it):
             or TEX_BUMP not in table.used_tex_slots):
         return it["ns"]
     from . import textures as tex_mod
+    from .core import math as _vm
+    from .core.math import V2
     m = jnp.maximum(mat_id, 0)
     tid = table.tex_ids[m][:, TEX_BUMP]
     has = tid >= 0
-    uv = it["uv"]
-    ns = it["ns"]
+    uv = it["uv"]            # V2
+    ns = it["ns"]            # V3
     # half-pixel-ish offsets in uv; fall back to a fixed delta (the
     # reference uses .5f * (dudx+dudy), zero without differentials ->
     # material.dart uses .0005 guard)
-    du = jnp.full(uv.shape[:1], 5e-4, jnp.float32)
+    du = jnp.full(jnp.shape(uv.x), 5e-4, jnp.float32)
     dv = du
     if "tex_width" in it:
         w = jnp.maximum(it["tex_width"], 1e-5)
@@ -306,19 +321,16 @@ def bump_shading_normal(table: MaterialTable, mat_id, textures, it):
         it2 = dict(it)
         it2["uv"] = uv_shift
         it2["p"] = p_shift
-        return tex_mod.eval_or(textures, tid, it2,
-                               jnp.zeros_like(ns))[:, 0]
+        return tex_mod.eval_or_scalar(textures, tid, it2,
+                                      jnp.zeros_like(du))
 
     d0 = disp(uv, it["p"])
-    du_uv = jnp.stack([uv[:, 0] + du, uv[:, 1]], axis=-1)
-    dv_uv = jnp.stack([uv[:, 0], uv[:, 1] + dv], axis=-1)
-    d_u = disp(du_uv, it["p"] + it["dpdu"] * du[:, None])
-    d_v = disp(dv_uv, it["p"] + it["dpdv"] * dv[:, None])
+    d_u = disp(V2(uv.x + du, uv.y), it["p"] + it["dpdu"] * du)
+    d_v = disp(V2(uv.x, uv.y + dv), it["p"] + it["dpdv"] * dv)
     dddu = (d_u - d0) / jnp.maximum(du, 1e-8)
     dddv = (d_v - d0) / jnp.maximum(dv, 1e-8)
-    dpdu_b = it["dpdu"] + dddu[:, None] * ns
-    dpdv_b = it["dpdv"] + dddv[:, None] * ns
-    from .core import math as _vm
+    dpdu_b = it["dpdu"] + ns * dddu
+    dpdv_b = it["dpdv"] + ns * dddv
     ns_b = _vm.normalize(_vm.cross(dpdu_b, dpdv_b))
     ns_b = _vm.face_forward(ns_b, ns)
-    return jnp.where(has[:, None], ns_b, ns)
+    return _vm.where3(has, ns_b, ns)

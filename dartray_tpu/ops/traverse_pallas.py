@@ -44,7 +44,7 @@ STACK_DEPTH = 128
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2",
-                      "wbounds", "worder", "tv0h", "te1h", "te2h"],
+                      "wbounds", "worder", "woop"],
          meta_fields=["n_nodes", "n_clusters", "k", "n_wnodes"])
 @dataclasses.dataclass
 class PackedBVH:
@@ -72,11 +72,8 @@ class PackedBVH:
     te2: jnp.ndarray
     wbounds: jnp.ndarray
     worder: jnp.ndarray
-    # bfloat16 triangle copies for the in-kernel dense tests (the f32
-    # arrays above stay authoritative for the exact finish_hits recompute)
-    tv0h: jnp.ndarray = None
-    te1h: jnp.ndarray = None
-    te2h: jnp.ndarray = None
+    # (C, 3K+pad, 4) Woop unit-triangle transforms for the v7 MXU flush
+    woop: jnp.ndarray = None
     n_nodes: int = 0
     n_clusters: int = 0
     k: int = 0
@@ -111,16 +108,14 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     from ..accel.wide import build_wide
     wbounds, worder, n_w = build_wide(node_lo, node_hi, node_child)
     # host numpy — one device_put of the whole scene happens at render entry
-    import ml_dtypes
     t0 = np.moveaxis(v0, -1, 0).copy()
     t1 = np.moveaxis(e1, -1, 0).copy()
     t2 = np.moveaxis(e2, -1, 0).copy()
-    bf = ml_dtypes.bfloat16
     packed = PackedBVH(
         bounds=bounds, meta=meta, meta2=meta2,
         tv0=t0, te1=t1, te2=t2,
         wbounds=wbounds, worder=worder,
-        tv0h=t0.astype(bf), te1h=t1.astype(bf), te2h=t2.astype(bf),
+        woop=woop_pack(t0, t1, t2),
         n_nodes=n, n_clusters=c, k=k, n_wnodes=n_w)
     return packed, tid.reshape(-1)
 
@@ -277,18 +272,7 @@ def traverse(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
     o, d: (R, 3); tmin/tmax: (R,). Returns (t (R,), prim (R,)) with t = inf,
     prim = -1 on miss. prim indexes the PERMUTED triangle order (cid*K + j).
     """
-    r = o.shape[0]
-    b = block_rows * 128
-    rp = -(-r // b) * b
-    o = _pad_to(o, rp, 0.0)
-    d = _pad_to(d, rp, 1.0)
-    tmin = _pad_to(tmin, rp, 0.0)
-    tmax = _pad_to(tmax, rp, -1.0)      # pad rays: tmax < tmin -> dead
-    shape2 = (rp // 128, 128)
-    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-              tmin, tmax]
-    planes = [p.reshape(shape2) for p in planes]
-    n_blocks = rp // b
+    planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
 
     grid = (n_blocks,)
     tri_spec = pl.BlockSpec(
@@ -988,17 +972,25 @@ def _kernel3(bounds_ref, meta_ref,
 SMEM_META_MAX = 2400    # nodes whose (N,2) meta2 still fits SMEM
 
 
+def _components(o, d):
+    """V3 or (R, 3) -> component tuples (SoA wavefronts pass V3 straight
+    through with no layout transpose)."""
+    if hasattr(o, "x"):
+        return (o.x, o.y, o.z), (d.x, d.y, d.z)
+    return (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2])
+
+
 def _plane_blocks(o, d, tmin, tmax, block_rows):
-    r = o.shape[0]
+    oc, dc = _components(o, d)
+    r = oc[0].shape[0]
     b = block_rows * 128
     rp = -(-r // b) * b
-    o = _pad_to(o, rp, 0.0)
-    d = _pad_to(d, rp, 1.0)
-    tmin = _pad_to(tmin, rp, 0.0)
-    tmax = _pad_to(tmax, rp, -1.0)
     shape2 = (rp // 128, 128)
-    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-              tmin, tmax]
+    planes = [_pad_to(oc[0], rp, 0.0), _pad_to(oc[1], rp, 0.0),
+              _pad_to(oc[2], rp, 0.0),
+              _pad_to(dc[0], rp, 1.0), _pad_to(dc[1], rp, 1.0),
+              _pad_to(dc[2], rp, 1.0),
+              _pad_to(tmin, rp, 0.0), _pad_to(tmax, rp, -1.0)]
     return [p.reshape(shape2) for p in planes], shape2, rp // b, r
 
 
@@ -1055,18 +1047,7 @@ def traverse3(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 def traverse2(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
               block_rows: int = 8, interpret: bool = False):
     """v2 traversal: independent 128-ray packet per sublane row."""
-    r = o.shape[0]
-    b = block_rows * 128
-    rp = -(-r // b) * b
-    o = _pad_to(o, rp, 0.0)
-    d = _pad_to(d, rp, 1.0)
-    tmin = _pad_to(tmin, rp, 0.0)
-    tmax = _pad_to(tmax, rp, -1.0)
-    shape2 = (rp // 128, 128)
-    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-              tmin, tmax]
-    planes = [p.reshape(shape2) for p in planes]
-    n_blocks = rp // b
+    planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
 
     # sentinel rows: null node (empty box, non-leaf) + null cluster (zero tris)
     null_node = bvh.n_nodes
@@ -1295,9 +1276,9 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
                             memory_space=pltpu.VMEM)
     tri_args = []
     tri_specs = []
-    tri_src = ((bvh.tv0h, bvh.te1h, bvh.te2h) if bf16
-               else (bvh.tv0, bvh.te1, bvh.te2))
-    for arr in tri_src:
+    # bf16 mode: refs stay f32 (the f32 (1,K)->(K,1) transpose in col() is
+    # the one Mosaic accepts on v5e); _mt_dense casts AFTER the transpose.
+    for arr in (bvh.tv0, bvh.te1, bvh.te2):
         for c in range(3):
             tri_args.append(arr[c])
             tri_specs.append(full(arr[c]))
@@ -1577,10 +1558,9 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
         z = jnp.zeros((1, bvh.k), jnp.asarray(arr3[0]).dtype)
         return [jnp.concatenate([jnp.asarray(arr3[c]), z]) for c in range(3)]
 
-    tri_src = ((bvh.tv0h, bvh.te1h, bvh.te2h) if bf16
-               else (bvh.tv0, bvh.te1, bvh.te2))
-    tri_args = (with_null(tri_src[0]) + with_null(tri_src[1])
-                + with_null(tri_src[2]))
+    # bf16 mode keeps f32 refs; _mt_dense casts after the (1,K) transpose
+    tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
+                + with_null(bvh.te2))
     # exact bit-pack weight constants (see _kernel6)
     w_args = []
     for g in ((0, 1, 2), (3, 4, 5), (6, 7)):
@@ -1618,6 +1598,281 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Kernel v7: wide-BVH traversal with the MXU (Woop-matmul) leaf flush.
+#
+# VERDICT r4 #1. The dense leaf flush — the measured wall of the v5/v6
+# family — evaluates ~40 VPU flops per (ray, triangle) pair. v7 precomputes
+# per-triangle unit-triangle (Woop) affine transforms on host: W = [e1 e2
+# e1xe2]^-1 with translation t = -W v0 maps the triangle to the canonical
+# {(0,0,0),(1,0,0),(0,1,0)} triangle, so a leaf flush is ONE matmul
+#     (3K, 4) @ (4, 2B) -> (3K, 2B)     [o' in cols 0:B, d' in cols B:2B]
+# on the MXU plus a short elementwise finish: t = -o'z/d'z, u = o'x+t d'x,
+# v = o'y+t d'y, bounds tests, packed-index winner fold. Measured on the
+# v5e (tools/exp_mxu.py, kernel-dominated timing): 61 vs 39 Gpairs/s —
+# 1.6x over the f32 VPU MT flush; bf16 operands gain nothing more (the
+# finish is VPU-bound), so operands stay f32 — no precision trade at all
+# beyond the existing candidate-then-exact-finish design (finish_hits
+# recomputes exact t/u/v from the authoritative f32 soup outside).
+#
+# Layout: the whole kernel is LANE-MAJOR — rays live in the 128-lane minor
+# dim as flat (1, B) registers (B = rows*128) instead of v5's (rows, 128)
+# blocks, because the matmul's (3K, 2B) output slices to fully-packed
+# (K, B) tiles for the finish. Node steps are v5's wide-node pops with
+# (8, B) slab tests and the same octant push-order tables.
+# ---------------------------------------------------------------------------
+
+LBUF7 = 16
+
+
+def woop_pack(tv0, te1, te2):
+    """(3, C, K) component soup -> (C, 4, 3K) Woop operand (host numpy).
+
+    Column [c*K + j] holds [W[c,:], t[c]] of triangle j (contraction along
+    the 4-row sublane dim): o'_c = col . [o, 1], d'_c = col . [d, 0] (the
+    4th row drops for directions). Degenerate (pad) triangles get all-zero
+    columns -> d'z = 0 -> miss. Lanes hold the 3K triangle rows (the
+    transposed (C, 3K, 4) layout lane-pads 4 -> 128: 32x VMEM inflation)."""
+    v0 = np.moveaxis(np.asarray(tv0), 0, -1).astype(np.float64)  # (C, K, 3)
+    e1 = np.moveaxis(np.asarray(te1), 0, -1).astype(np.float64)
+    e2 = np.moveaxis(np.asarray(te2), 0, -1).astype(np.float64)
+    c, k, _ = v0.shape
+    n = np.cross(e1, e2)
+    M = np.stack([e1, e2, n], axis=-1)                 # columns
+    det = np.linalg.det(M)
+    ok = np.abs(det) > 1e-30
+    Minv = np.zeros_like(M)
+    if ok.any():
+        Minv[ok] = np.linalg.inv(M[ok])
+    t = -np.einsum("ckij,ckj->cki", Minv, v0)
+    A = np.zeros((c, 4, 3 * k), np.float32)
+    for comp in range(3):
+        A[:, 0:3, comp * k:(comp + 1) * k] = np.moveaxis(
+            Minv[:, :, comp, :], -1, 1)
+        A[:, 3, comp * k:(comp + 1) * k] = t[:, :, comp]
+    return A
+
+
+def _kernel7(wb_ref, wo_ref, ao_ref,
+             rays2_ref, tmin_ref, tmax_ref,
+             t_out, prim_out, *rest,
+             k: int, b: int, any_hit: bool, n_wnodes: int,
+             counters: bool = False):
+    if counters:
+        cnt_out, stack_ref, lbuf_ref, spill_ref = rest
+    else:
+        stack_ref, lbuf_ref, spill_ref = rest
+    rays2 = rays2_ref[0]                       # (4, 2B): [o|1 , d|0]
+    ox = rays2[0:1, 0:b]
+    oy = rays2[1:2, 0:b]
+    oz = rays2[2:3, 0:b]
+    dx = rays2[0:1, b:2 * b]
+    dy = rays2[1:2, b:2 * b]
+    dz = rays2[2:3, b:2 * b]
+    tmin = tmin_ref[0]                         # (1, B)
+    tmax = tmax_ref[0]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    alive = tmax >= tmin
+    half = jnp.float32(b / 2)
+    negx = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) > half
+    negy = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) > half
+    negz = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) > half
+    qw = (jnp.where(negx, 1, 0) + jnp.where(negy, 2, 0)
+          + jnp.where(negz, 4, 0)) * n_wnodes
+
+    t0 = jnp.where(alive, tmax, jnp.float32(-jnp.inf))
+    prim0 = jnp.full((1, b), -1, jnp.int32)
+    stack_ref[0] = jnp.int32(0)
+
+    def comp(row, c):
+        seg = row[:, 8 * c:8 * (c + 1)]              # (1, 8)
+        return jnp.transpose(seg, (1, 0))            # (8, 1)
+
+    def node_steps(sp, nlb, t_best, prim, nsteps):
+        def cond(st):
+            sp, nlb, t_best, nsteps = st
+            return (sp > 0) & (nlb + 8 <= LBUF7)
+
+        def body(st):
+            sp, nlb, t_best, nsteps = st
+            nsteps = nsteps + 1
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            row = wb_ref[pl.ds(node, 1), :]          # (1, 48)
+            lox, loy, loz = comp(row, 0), comp(row, 1), comp(row, 2)
+            hix, hiy, hiz = comp(row, 3), comp(row, 4), comp(row, 5)
+            t0x = (lox - ox) * ix
+            t1x = (hix - ox) * ix
+            t0y = (loy - oy) * iy
+            t1y = (hiy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1z = (hiz - oz) * iz
+            # NaN pad slots fail every comparison -> never hit
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            if any_hit:
+                slab = (tn <= tf) & alive & (prim < 0)
+            else:
+                slab = (tn <= tf) & alive
+            red2 = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=1,
+                           keepdims=True)            # (8, 1)
+            spill_ref[:, 0:1] = red2
+            for s in range(8):
+                e = wo_ref[qw + node, s]
+                slot = e & 7
+                ref = jax.lax.shift_right_arithmetic(e, 3)
+                hit_s = spill_ref[slot, 0] > 0.5
+                push = hit_s & (ref >= 0)
+                take = hit_s & (ref < 0)
+
+                @pl.when(push)
+                def _():
+                    stack_ref[sp] = ref
+
+                @pl.when(take)
+                def _():
+                    lbuf_ref[nlb] = -ref - 1
+
+                sp = sp + jnp.where(push, 1, 0)
+                nlb = nlb + jnp.where(take, 1, 0)
+            return sp, nlb, t_best, nsteps
+
+        return jax.lax.while_loop(cond, body, (sp, nlb, t_best, nsteps))
+
+    def flush(nlb, t_best, prim):
+        def round_fn(i, carry):
+            t_best, prim = carry
+            cid = lbuf_ref[i]
+            A = ao_ref[cid]                          # (4, 3K)
+            out = jax.lax.dot_general(
+                A, rays2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (3K, 2B)
+            opx = out[0 * k:1 * k, 0:b]
+            opy = out[1 * k:2 * k, 0:b]
+            opz = out[2 * k:3 * k, 0:b]
+            dpx = out[0 * k:1 * k, b:2 * b]
+            dpy = out[1 * k:2 * k, b:2 * b]
+            dpz = out[2 * k:3 * k, b:2 * b]
+            t = -opz / jnp.where(jnp.abs(dpz) < 1e-30,
+                                 jnp.float32(1e-30), dpz)
+            u = opx + t * dpx
+            v = opy + t * dpy
+            ok = ((u >= -BARY_EPS) & (v >= -BARY_EPS)
+                  & (u + v <= 1.0 + BARY_EPS) & (t > tmin)
+                  & (jnp.abs(dpz) >= 1e-30))
+            if any_hit:
+                ok = ok & alive & (prim < 0)
+            else:
+                ok = ok & alive
+            tm = jnp.where(ok, t, jnp.float32(jnp.inf))
+            # packed-index winner fold over the K sublane rows
+            ti = jax.lax.bitcast_convert_type(tm, jnp.int32)
+            j = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+            ti = (ti & ~IDX_MASK) | j
+            twin_i = jnp.min(ti, axis=0, keepdims=True)      # (1, B)
+            j_win = twin_i & IDX_MASK
+            t_win = jax.lax.bitcast_convert_type(twin_i & ~IDX_MASK,
+                                                 jnp.float32)
+            better = t_win < t_best
+            t_best = jnp.where(better, t_win, t_best)
+            prim = jnp.where(better, cid * k + j_win, prim)
+            return t_best, prim
+
+        return jax.lax.fori_loop(0, nlb, round_fn, (t_best, prim))
+
+    def outer_cond(st):
+        sp, nlb, t_best, prim, nsteps, nleaf = st
+        live = (sp > 0) | (nlb > 0)
+        if any_hit:
+            live = live & ~jnp.all((prim >= 0) | ~alive)
+        return live
+
+    def outer_body(st):
+        sp, nlb, t_best, prim, nsteps, nleaf = st
+        sp, nlb, t_best, nsteps = node_steps(sp, nlb, t_best, prim, nsteps)
+        t_best, prim = flush(nlb, t_best, prim)
+        return sp, jnp.int32(0), t_best, prim, nsteps, nleaf + nlb
+
+    _, _, t_best, prim, nsteps, nleaf = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(1), jnp.int32(0), t0, prim0, jnp.int32(0), jnp.int32(0)))
+    t_out[0] = jnp.where(prim >= 0, t_best, jnp.float32(jnp.inf))
+    prim_out[0] = prim
+    if counters:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        cnt_out[0] = jnp.where(lane == 0, nsteps,
+                               jnp.where(lane == 1, nleaf, 0))
+
+
+@partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
+                                   "counters"))
+def traverse7(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
+              block_rows: int = 32, interpret: bool = False,
+              counters: bool = False, woop=None):
+    """v7: lane-major wide-BVH traversal with the Woop-MXU leaf flush."""
+    oc, dc = _components(o, d)
+    r = oc[0].shape[0]
+    b = block_rows * 128
+    rp = -(-r // b) * b
+    n_blocks = rp // b
+    ones = jnp.ones((rp,), jnp.float32)
+    zeros = jnp.zeros((rp,), jnp.float32)
+    # (n_blocks, 4, 2B): [o | 1] in cols 0:B, [d | 0] in cols B:2B
+    o_rows = jnp.stack([_pad_to(oc[0], rp, 0.0), _pad_to(oc[1], rp, 0.0),
+                        _pad_to(oc[2], rp, 0.0), ones]).reshape(4, n_blocks,
+                                                                b)
+    d_rows = jnp.stack([_pad_to(dc[0], rp, 1.0), _pad_to(dc[1], rp, 1.0),
+                        _pad_to(dc[2], rp, 1.0), zeros]).reshape(4, n_blocks,
+                                                                 b)
+    rays2 = jnp.concatenate([o_rows, d_rows], axis=-1)   # (4, NB, 2B)
+    rays2 = jnp.transpose(rays2, (1, 0, 2))              # (NB, 4, 2B)
+    tminb = _pad_to(tmin, rp, 0.0).reshape(n_blocks, 1, b)
+    tmaxb = _pad_to(tmax, rp, -1.0).reshape(n_blocks, 1, b)
+    if woop is None:
+        woop = jnp.asarray(bvh.woop)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    rays2_spec = pl.BlockSpec((1, 4, 2 * b), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_blocks, 1, b), jnp.float32),
+                 jax.ShapeDtypeStruct((n_blocks, 1, b), jnp.int32)]
+    out_specs = [lane_spec, lane_spec]
+    if counters:
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 1, b), jnp.int32))
+        out_specs.append(lane_spec)
+
+    kern = partial(_kernel7, k=bvh.k, b=b, any_hit=any_hit,
+                   n_wnodes=bvh.n_wnodes, counters=counters)
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        out_shape=tuple(out_shape),
+        in_specs=[full(bvh.wbounds), full(bvh.worder), full(woop),
+                  rays2_spec, lane_spec, lane_spec],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SMEM((LBUF7,), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(bvh.wbounds, bvh.worder, woop, rays2, tminb, tmaxb)
+    t, prim = res[0], res[1]
+    if counters:
+        return t.reshape(-1)[:r], prim.reshape(-1)[:r], res[2]
+    return t.reshape(-1)[:r], prim.reshape(-1)[:r]
+
+
+# ---------------------------------------------------------------------------
 # Wavefront glue: ray sorting + exact hit finishing (host-of-kernel XLA ops).
 # ---------------------------------------------------------------------------
 
@@ -1636,12 +1891,14 @@ def sort_order(o, d, tmin, tmax, lo, hi):
     30-bit Morton code of the origin quantized into the scene bounds. Dead
     rays (tmax < tmin) sort last, so whole trailing blocks short-circuit in
     the traversal kernel — compaction without dynamic shapes."""
-    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
-                 0.0, 1023.0).astype(jnp.int32)
-    m = (_morton_spread(q[:, 0]) | (_morton_spread(q[:, 1]) << 1)
-         | (_morton_spread(q[:, 2]) << 2))
-    octant = ((d[:, 0] < 0) * 1 + (d[:, 1] < 0) * 2
-              + (d[:, 2] < 0) * 4).astype(jnp.int32)
+    oc, dc = _components(o, d)
+    sc = 1023.0 / jnp.maximum(hi - lo, 1e-9)
+    qs = [jnp.clip((oc[c] - lo[c]) * sc[c], 0.0, 1023.0).astype(jnp.int32)
+          for c in range(3)]
+    m = (_morton_spread(qs[0]) | (_morton_spread(qs[1]) << 1)
+         | (_morton_spread(qs[2]) << 2))
+    octant = ((dc[0] < 0) * 1 + (dc[1] < 0) * 2
+              + (dc[2] < 0) * 4).astype(jnp.int32)
     dead = (tmax < tmin).astype(jnp.int32)
     key = (dead.astype(jnp.int64) << 34) | (octant.astype(jnp.int64) << 30) \
         | m.astype(jnp.int64)
@@ -1655,8 +1912,10 @@ def sort_order_origin(p, dead, lo, hi):
     next bounce's extension wave (both originate at the same hit points) —
     one argsort instead of two per bounce, and an int32 sort instead of the
     int64 one (each measured ~24 ms per 262k wave on the v5e)."""
-    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9) * 127.0,
-                 0.0, 127.0).astype(jnp.int32)
+    pc = (p.x, p.y, p.z) if hasattr(p, "x") else (p[:, 0], p[:, 1], p[:, 2])
+    sc = 127.0 / jnp.maximum(hi - lo, 1e-9)
+    qs = [jnp.clip((pc[c] - lo[c]) * sc[c], 0.0, 127.0).astype(jnp.int32)
+          for c in range(3)]
 
     def spread7(x):
         x = (x | (x << 8)) & 0x0300F00F
@@ -1664,8 +1923,7 @@ def sort_order_origin(p, dead, lo, hi):
         x = (x | (x << 2)) & 0x09249249
         return x
 
-    m = (spread7(q[:, 0]) | (spread7(q[:, 1]) << 1)
-         | (spread7(q[:, 2]) << 2))
+    m = (spread7(qs[0]) | (spread7(qs[1]) << 1) | (spread7(qs[2]) << 2))
     key = (dead.astype(jnp.int32) << 21) | m
     return jnp.argsort(key)
 
@@ -1675,22 +1933,31 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
 
     The kernel's packed fold rounds t by <=127 ulps and drops barycentrics;
     one gathered full-precision Moeller-Trumbore evaluation per ray restores
-    exact values (reference triangle.dart:44-160 semantics)."""
+    exact values (reference triangle.dart:44-160 semantics). Component-SoA:
+    9 lane-packed gathers + scalar-chain MT (no (R, 3) intermediates)."""
+    oc, dc = _components(o, d)
     hit = prim_p >= 0
     pp = jnp.maximum(prim_p, 0)
     cid = pp // bvh.k
     j = pp % bvh.k
-    v0 = bvh.tv0[:, cid, j].T
-    e1 = bvh.te1[:, cid, j].T
-    e2 = bvh.te2[:, cid, j].T
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
+    flat = cid * bvh.k + j
+    v0 = [bvh.tv0[c].reshape(-1)[flat] for c in range(3)]
+    e1 = [bvh.te1[c].reshape(-1)[flat] for c in range(3)]
+    e2 = [bvh.te2[c].reshape(-1)[flat] for c in range(3)]
+    px = dc[1] * e2[2] - dc[2] * e2[1]
+    py = dc[2] * e2[0] - dc[0] * e2[2]
+    pz = dc[0] * e2[1] - dc[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
     inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    tx = oc[0] - v0[0]
+    ty = oc[1] - v0[1]
+    tz = oc[2] - v0[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (dc[0] * qx + dc[1] * qy + dc[2] * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
     prim = jnp.where(hit, perm[pp], -1)
     t_out = jnp.where(hit, t, jnp.float32(jnp.inf))
     return t_out, prim, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
@@ -1719,13 +1986,18 @@ def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                else ("closest" if sorted_wave else "closest_coherent"))
     which, br = (kernel, 8) if kernel else DEFAULT_KERNEL[cfg_key]
     fn = {"v1": traverse, "v2": traverse2, "v3": traverse3,
-          "v4": traverse4, "v5": traverse5, "v6": traverse6}[which]
+          "v4": traverse4, "v5": traverse5, "v6": traverse6,
+          "v7": traverse7}[which]
+    oc, dc = _components(o, d)
     if sorted_wave:
         if order is None:
             order = sort_order(o, d, tmin, tmax, lo, hi)
-        t_s, prim_s = fn(bvh, o[order], d[order], tmin[order], tmax[order],
+        from ..core.math import V3
+        o_s = V3(oc[0][order], oc[1][order], oc[2][order])
+        d_s = V3(dc[0][order], dc[1][order], dc[2][order])
+        t_s, prim_s = fn(bvh, o_s, d_s, tmin[order], tmax[order],
                          any_hit=any_hit, block_rows=br, interpret=interpret)
-        n = o.shape[0]
+        n = oc[0].shape[0]
         t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
         prim_p = jnp.full((n,), -1, jnp.int32).at[order].set(prim_s)
     else:

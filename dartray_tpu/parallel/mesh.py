@@ -135,11 +135,11 @@ def render_sharded(scene, camera, sampler, li_fn: Callable, width: int,
                 camera, cs, width, height, diff_scale)
             sctx = {"sampler": sampler, "px": px_l, "py": py_l,
                     "s_idx": s_idx}
-            L = li_fn(scene, rays, diffs, sctx) * weight[:, None]
+            L = li_fn(scene, rays, diffs, sctx) * weight
             mask = (py_l >= 0) & (s >= 0)
             # deposit in band-local coords (film rows [0, band_h))
-            local_xy = cs.image_xy - jnp.stack(
-                [jnp.zeros_like(y_shift), y_shift])[None, :]
+            from ..core import math as _vm
+            local_xy = _vm.V2(cs.image_xy.x, cs.image_xy.y - y_shift)
             film = film_mod.add_samples(film, local_xy, L, mask=mask)
         # sample-chunk reduction: band-sized psum over the spp axis only
         pixels = jax.lax.psum(film.pixels, "spp")
@@ -161,6 +161,19 @@ def render_sharded(scene, camera, sampler, li_fn: Callable, width: int,
                                 axis=-1), ("tiles", "spp"))
         return pixels[None], splat[None]
 
+    if multi_host:
+        # multi-process jit needs global jax.Arrays: place the (identical on
+        # every process) host values with explicit NamedShardings
+        from jax.sharding import NamedSharding
+        put = lambda tree, spec: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, spec)), tree)
+        scene = put(scene, P())
+        camera = put(camera, P())
+        sampler = put(sampler, P())
+        film0 = put(film0, P())
+        px = put(px, P("tiles"))
+        py = put(py, P("tiles"))
+        s_all = put(s_all, P("spp"))
     out = jax.jit(shard_render)(scene, camera, sampler, px, py, s_all, film0)
     if multi_host:
         comp = np.asarray(out)

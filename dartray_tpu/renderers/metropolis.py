@@ -51,13 +51,15 @@ def _radiance_for(scene, camera, width, height, li_fn, u, max_depth):
 
     Dims 0,1 = continuous image position over the full film; 2,3 lens;
     4 time; >=5 integrator (path.li's dim convention)."""
+    from ..core import math as vm
     r = u.shape[0]
     img_x = u[:, 0] * width
     img_y = u[:, 1] * height
     px = jnp.clip(img_x.astype(jnp.int32), 0, width - 1)
     py = jnp.clip(img_y.astype(jnp.int32), 0, height - 1)
-    image_xy = jnp.stack([img_x, img_y], axis=-1)
-    cs = cam_mod.CameraSamples(image_xy=image_xy, lens_uv=u[:, 2:4],
+    image_xy = vm.V2(img_x, img_y)
+    cs = cam_mod.CameraSamples(image_xy=image_xy,
+                               lens_uv=vm.V2(u[:, 2], u[:, 3]),
                                time_u=u[:, 4])
     rays, diffs, weight = cam_mod.generate_rays(camera, cs, width, height,
                                                 1.0)
@@ -65,7 +67,7 @@ def _radiance_for(scene, camera, width, height, li_fn, u, max_depth):
     sctx = {"sampler": vs, "px": px, "py": py,
             "s_idx": jnp.zeros((r,), jnp.int32)}
     L = li_fn(scene, rays, diffs, sctx)
-    L = jnp.where(jnp.isfinite(L), L, 0.0) * weight[:, None]
+    L = L.map(lambda c: jnp.where(jnp.isfinite(c), c, 0.0)) * weight
     return L, image_xy
 
 
@@ -106,7 +108,8 @@ def render(scene, camera, width, height, spp=100, n_chains=8192,
     bidx = jnp.arange(n_bootstrap, dtype=jnp.uint32)
     scr = jax.random.randint(kb, (2,), 0, 2**31 - 1,
                              dtype=jnp.int32).astype(jnp.uint32)
-    u_boot = u_boot.at[:, 0:2].set(smp_core.sample02(bidx, scr))
+    b2 = smp_core.sample02(bidx, (scr[0], scr[1]))
+    u_boot = u_boot.at[:, 0].set(b2.x).at[:, 1].set(b2.y)
     L_boot, _ = rad(u_boot)
     I_boot = spec.luminance(L_boot)
     b = float(jnp.mean(I_boot))
@@ -143,13 +146,14 @@ def render(scene, camera, width, height, spp=100, n_chains=8192,
         w_cur = (1.0 - a) * b / jnp.maximum(I_cur, 1e-30)
         w_prop = jnp.where(I_prop > 0, w_prop, 0.0)
         w_cur = jnp.where(I_cur > 0, w_cur, 0.0)
-        sp = spec.to_xyz(L_prop * w_prop[:, None])
-        sc = spec.to_xyz(L_cur * w_cur[:, None])
+        sp = spec.to_xyz(L_prop * w_prop)
+        sc = spec.to_xyz(L_cur * w_cur)
 
         def scatter(img, xy, v):
-            ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, width - 1)
-            iy = jnp.clip(xy[:, 1].astype(jnp.int32), 0, height - 1)
-            return img.at[iy, ix].add(v)
+            from ..core import math as vm
+            ix = jnp.clip(xy.x.astype(jnp.int32), 0, width - 1)
+            iy = jnp.clip(xy.y.astype(jnp.int32), 0, height - 1)
+            return img.at[iy, ix].add(vm.to_arr(v))
 
         splat_img = scatter(splat_img, xy_prop, sp)
         splat_img = scatter(splat_img, xy_cur, sc)
@@ -157,8 +161,9 @@ def render(scene, camera, width, height, spp=100, n_chains=8192,
         accept = jax.random.uniform(k5, (n_chains,)) < a
         accept = accept | (rejects >= max_consecutive_rejects)
         rejects = jnp.where(accept, 0, rejects + 1)
+        from ..core import math as vm
         u = jnp.where(accept[:, None], u_prop, u)
-        L_cur = jnp.where(accept[:, None], L_prop, L_cur)
+        L_cur = vm.where3(accept, L_prop, L_cur)
         I_cur = jnp.where(accept, I_prop, I_cur)
         return (u, L_cur, I_cur, rejects, splat_img), None
 

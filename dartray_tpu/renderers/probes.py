@@ -59,19 +59,20 @@ def render(scene, li_fn: Callable, bbox_lo=None, bbox_hi=None,
     n_probes = pos.shape[0]
     T = sh.n_terms(lmax)
     rng = np.random.default_rng(seed)
-    scr = jnp.asarray(rng.integers(0, 2 ** 32, (n_samples, 2),
-                                   dtype=np.uint32))
+    scr_np = rng.integers(0, 2 ** 32, 2, dtype=np.uint32)
+    scr = (jnp.uint32(int(scr_np[0])), jnp.uint32(int(scr_np[1])))
     idx = jnp.arange(n_samples, dtype=jnp.uint32)
     u = smp.sample02(idx, scr)
-    dirs = smp.uniform_sample_sphere(u)                  # (S, 3)
+    dirs = smp.uniform_sample_sphere(u)                  # V3 of (S,)
     Y = sh.eval_basis(dirs, lmax)                        # (S, T)
+    dirs_arr = vm.to_arr(dirs)
     w = FOUR_PI / n_samples
 
     @jax.jit
     def bake_chunk(p_chunk):
         c = p_chunk.shape[0]
-        o = jnp.repeat(p_chunk, n_samples, axis=0)
-        d = jnp.tile(dirs, (c, 1))
+        o = vm.from_arr(jnp.repeat(p_chunk, n_samples, axis=0))
+        d = vm.from_arr(jnp.tile(dirs_arr, (c, 1)))
         r = c * n_samples
         rays = vm.Rays(o=o, d=d,
                        tmin=jnp.full((r,), 1e-4, jnp.float32),
@@ -83,7 +84,7 @@ def render(scene, li_fn: Callable, bbox_lo=None, bbox_hi=None,
                 "px": jnp.arange(r, dtype=jnp.int32),
                 "py": jnp.zeros((r,), jnp.int32),
                 "s_idx": jnp.zeros((r,), jnp.int32)}
-        L = li_fn(scene, rays, None, sctx)               # (c*S, 3)
+        L = vm.to_arr(li_fn(scene, rays, None, sctx))    # (c*S, 3)
         L = L.reshape(c, n_samples, 3)
         return jnp.einsum("st,csk->ctk", Y, L) * w       # (c, T, 3)
 

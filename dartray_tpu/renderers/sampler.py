@@ -61,7 +61,7 @@ def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
                                                 diff_scale)
     sctx = {"sampler": sampler, "px": px, "py": py, "s_idx": s_idx}
     L = li_fn(scene, rays, diffs, sctx)
-    L = L * weight[:, None]
+    L = L * weight
     return film_mod.add_samples(film, cs.image_xy, L)
 
 
@@ -166,14 +166,15 @@ def render_adaptive(scene, camera, sampler, li_fn, width, height,
     n = px.shape[0]
 
     def wave_lum(scene, camera, sampler, film, px, py, s_idx):
+        from ..core import spectrum as spec_mod
         cs = smp_mod.camera_samples(sampler, px, py, s_idx)
         diff_scale = 1.0 / np.sqrt(max(max_spp, 1))
         rays, diffs, weight = cam_mod.generate_rays(camera, cs, width,
                                                     height, diff_scale)
         sctx = {"sampler": sampler, "px": px, "py": py, "s_idx": s_idx}
         L = li_fn(scene, rays, diffs, sctx)
-        L = L * weight[:, None]
-        lum = 0.212671 * L[:, 0] + 0.715160 * L[:, 1] + 0.072169 * L[:, 2]
+        L = L * weight
+        lum = spec_mod.luminance(L)
         return film_mod.add_samples(film, cs.image_xy, L), lum
 
     step = jax.jit(partial(wave_lum), donate_argnames=("film",))
@@ -197,7 +198,7 @@ def render_adaptive(scene, camera, sampler, li_fn, width, height,
         rays = rays._replace(tmax=jnp.where(refine, rays.tmax, -1.0))
         sctx = {"sampler": sampler, "px": px, "py": py, "s_idx": s_idx}
         L = li_fn(scene, rays, diffs, sctx)
-        L = L * weight[:, None]
+        L = L * weight
         return film_mod.add_samples(film, cs.image_xy, L, mask=refine)
 
     step2 = jax.jit(partial(wave_masked), donate_argnames=("film",))

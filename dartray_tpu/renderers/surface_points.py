@@ -45,13 +45,15 @@ def render(scene, min_sample_dist: float = 0.25, max_points: int = 50_000,
 
     @jax.jit
     def cast(o, d):
-        rays = vm.Rays(o=o, d=d,
-                       tmin=jnp.full(o.shape[:1], 1e-4, jnp.float32),
-                       tmax=jnp.full(o.shape[:1], jnp.inf, jnp.float32),
-                       time=jnp.zeros(o.shape[:1], jnp.float32))
+        r = o.shape[0]
+        rays = vm.Rays(o=vm.from_arr(o), d=vm.from_arr(d),
+                       tmin=jnp.full((r,), 1e-4, jnp.float32),
+                       tmax=jnp.full((r,), jnp.inf, jnp.float32),
+                       time=jnp.zeros((r,), jnp.float32))
         hits = st.intersect(geom, rays)
         it = st.interaction(geom, rays, hits)
-        return hits.hit, it["p"], it["ng"], it["mat_id"], hits.t
+        return (hits.hit, vm.to_arr(it["p"]), vm.to_arr(it["ng"]),
+                it["mat_id"], hits.t)
 
     cell = max(min_sample_dist, 1e-6)
     grid = {}

@@ -96,14 +96,15 @@ def _pixel_key(sampler: Sampler, px, py, dim):
 
 
 def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
-    """(R,) pixel coords + sample indices -> (R, 2) in [0,1)^2."""
+    """(R,) pixel coords + sample indices -> V2 in [0,1)^2."""
+    from .core.math import V2
     if sampler.kind == VECTOR:
         d = sampler.u_vec.shape[1]
-        return jnp.stack([sampler.u_vec[:, dim % d],
-                          sampler.u_vec[:, (dim + 1) % d]], axis=-1)
+        return V2(sampler.u_vec[:, dim % d],
+                  sampler.u_vec[:, (dim + 1) % d])
     if sampler.kind == LOWDISCREPANCY:
-        scr = jnp.stack([_pixel_key(sampler, px, py, dim),
-                         _pixel_key(sampler, px, py, dim + 1000)], axis=-1)
+        scr = (_pixel_key(sampler, px, py, dim),
+               _pixel_key(sampler, px, py, dim + 1000))
         # independent draw ORDER per dimension group (see
         # sampling.index_permute — the LDShuffleScrambled analog)
         sp = smp.index_permute(s_idx.astype(U32), sampler.spp,
@@ -121,8 +122,7 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
         if not sampler.jitter:
             jx = jnp.full_like(jx, 0.5)
             jy = jnp.full_like(jy, 0.5)
-        return jnp.stack([(sx + jx) / sampler.nx,
-                          (sy + jy) / sampler.ny], axis=-1)
+        return V2((sx + jx) / sampler.nx, (sy + jy) / sampler.ny)
     if sampler.kind == HALTON:
         # global permuted-Halton indexed by (pixel-hash + sample) — statistical
         # equivalent of halton_sampler.dart's image-window sequence
@@ -130,13 +130,11 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
         n = s_idx.astype(U32) ^ (k >> 8)
         b1 = int(smp._PRIMES[(2 * dim) % 40])
         b2 = int(smp._PRIMES[(2 * dim + 1) % 40])
-        return jnp.stack([smp.radical_inverse(n, b1),
-                          smp.radical_inverse(n, b2)], axis=-1)
+        return V2(smp.radical_inverse(n, b1), smp.radical_inverse(n, b2))
     # RANDOM
     k = _pixel_key(sampler, px, py, dim)
-    return jnp.stack([smp.rng_uniform(k, s_idx.astype(U32) * U32(2)),
-                      smp.rng_uniform(k, s_idx.astype(U32) * U32(2) + U32(1))],
-                     axis=-1)
+    return V2(smp.rng_uniform(k, s_idx.astype(U32) * U32(2)),
+              smp.rng_uniform(k, s_idx.astype(U32) * U32(2) + U32(1)))
 
 
 def sample_1d(sampler: Sampler, px, py, s_idx, dim: int):
@@ -168,9 +166,10 @@ def camera_samples(sampler: Sampler, px, py, s_idx,
     """Image/lens/time sample triple for a wavefront (LDPixelSample layout,
     montecarlo.dart:407-474). px/py int32 raster pixel; returns continuous
     raster image_xy = pixel + [0,1)^2 offset."""
+    from .core.math import V2
     img = sample_2d(sampler, px, py, s_idx, 0)
     lens = sample_2d(sampler, px, py, s_idx, 2)
     time_u = sample_1d(sampler, px, py, s_idx, 4)
-    image_xy = jnp.stack([px.astype(jnp.float32) + img[:, 0],
-                          py.astype(jnp.float32) + img[:, 1]], axis=-1)
+    image_xy = V2(px.astype(jnp.float32) + img.x,
+                  py.astype(jnp.float32) + img.y)
     return CameraSamples(image_xy=image_xy, lens_uv=lens, time_u=time_u)

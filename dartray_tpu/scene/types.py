@@ -163,11 +163,15 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
                 lerped, mat_ids, light_ids, split_method=split_method,
                 textures=textures, shutter=shutter))
         motion = tuple(motion)
+    vn_all = np.concatenate(vns)          # (F, 3 corners, 3)
+    uv_all = np.concatenate(uvs)          # (F, 3 corners, 2)
     return Geometry(
         cl=cb, packed=packed, perm=perm,
-        v0=v0, e1=e1, e2=e2,
-        vn=np.concatenate(vns),
-        uv=np.concatenate(uvs),
+        v0=_v3_of(v0), e1=_v3_of(e1), e2=_v3_of(e2),
+        vn=tuple(_v3_of(vn_all[:, k]) for k in range(3)),
+        uv=tuple(vm.V2(np.ascontiguousarray(uv_all[:, k, 0]),
+                       np.ascontiguousarray(uv_all[:, k, 1]))
+                 for k in range(3)),
         mat_id=np.concatenate(mids),
         light_id=np.concatenate(lids),
         world_bound=wb.astype(np.float32),
@@ -176,6 +180,14 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         motion=motion,
         n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes, has_alpha=has_alpha,
         n_motion_bins=n_bins, shutter=tuple(shutter))
+
+
+def _v3_of(a):
+    """(F, 3) host array -> component-SoA V3 of contiguous (F,) arrays."""
+    a = np.asarray(a)
+    return vm.V3(np.ascontiguousarray(a[:, 0]),
+                 np.ascontiguousarray(a[:, 1]),
+                 np.ascontiguousarray(a[:, 2]))
 
 
 def to_device(tree):
@@ -230,6 +242,12 @@ def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
     return cluster_mod.intersect(geom.cl, rays)
 
 
+def _gather_mat3(geom: "Geometry", prim):
+    """Per-hit triangle data (v0, e1, e2) as component gathers."""
+    return (vm.gather3(geom.v0, prim), vm.gather3(geom.e1, prim),
+            vm.gather3(geom.e2, prim))
+
+
 ALPHA_ROUNDS = 4   # max cut-out layers pierced per query (static)
 
 
@@ -239,14 +257,15 @@ def _alpha_cut(geom: "Geometry", hits):
     from .. import textures as tex_mod
     prim = jnp.maximum(hits.prim, 0)
     tid = geom.alpha_tid[prim]
-    uvc = geom.uv[prim]
     b0 = 1.0 - hits.b1 - hits.b2
-    uv = (uvc[:, 0] * b0[:, None] + uvc[:, 1] * hits.b1[:, None]
-          + uvc[:, 2] * hits.b2[:, None])
-    it = {"uv": uv, "p": jnp.zeros(uv.shape[:1] + (3,), jnp.float32)}
-    a = tex_mod.eval_or(geom.alpha_tex, tid, it,
-                        jnp.ones(uv.shape[:1] + (3,), jnp.float32))
-    return (hits.prim >= 0) & (tid >= 0) & (a[:, 0] < 1e-3)
+    uv0 = vm.V2(geom.uv[0].x[prim], geom.uv[0].y[prim])
+    uv1 = vm.V2(geom.uv[1].x[prim], geom.uv[1].y[prim])
+    uv2 = vm.V2(geom.uv[2].x[prim], geom.uv[2].y[prim])
+    uv = vm.V2(uv0.x * b0 + uv1.x * hits.b1 + uv2.x * hits.b2,
+               uv0.y * b0 + uv1.y * hits.b1 + uv2.y * hits.b2)
+    it = {"uv": uv, "p": vm.v3zeros(jnp.shape(b0))}
+    a = tex_mod.eval_or(geom.alpha_tex, tid, it, vm.v3ones(jnp.shape(b0)))
+    return (hits.prim >= 0) & (tid >= 0) & (a.x < 1e-3)
 
 
 def _motion_bin(geom: "Geometry", rays):
@@ -356,97 +375,100 @@ def shared_order(geom: Geometry, p, dead):
 
 
 def interaction(geom: Geometry, rays, hits, diffs=None):
-    """Hits -> dict of SoA shading arrays for the hit points.
+    """Hits -> dict of SoA shading data for the hit points.
 
-    Returns p, ng (geometric normal), ns (shading normal), uv, wo, mat_id,
-    light_id, all (R, ...) with garbage-but-finite values on misses (callers
-    mask by hits.hit). When camera ray differentials are given, also
-    tex_width — the uv-space filter footprint for mip selection
-    (DifferentialGeometry.computeDifferentials,
+    Returns p/ng/ns/dpdu/dpdv/wo as V3, uv as V2, plus mat_id/light_id/
+    prim/t/time (R,) — garbage-but-finite values on misses (callers mask by
+    hits.hit). When camera ray differentials are given, also tex_duv
+    (4-tuple of (R,)) and tex_width — the uv-space filter footprint for mip
+    selection (DifferentialGeometry.computeDifferentials,
     differential_geometry.dart:computeDifferentials).
     """
     prim = jnp.maximum(hits.prim, 0)
-    v0 = geom.v0[prim]
-    e1g = geom.e1[prim]
-    e2g = geom.e2[prim]
+    v0, e1g, e2g = _gather_mat3(geom, prim)
     if geom.n_motion_bins:
         # moving geometry: the hit point comes from the ray (exact for the
         # returned t); uv/normals interpolate the shutter-start topology
         # (exact under translation, the anim-bluespheres class)
-        p = rays.o + rays.d * jnp.minimum(hits.t, 1e30)[:, None]
+        p = rays.o + rays.d * jnp.minimum(hits.t, 1e30)
     else:
-        p = v0 + e1g * hits.b1[:, None] + e2g * hits.b2[:, None]
+        p = v0 + e1g * hits.b1 + e2g * hits.b2
     ng = vm.normalize(vm.cross(e1g, e2g))
     b0 = 1.0 - hits.b1 - hits.b2
-    vn = geom.vn[prim]                     # (R, 3, 3)
-    ns = vm.normalize(vn[:, 0] * b0[:, None] + vn[:, 1] * hits.b1[:, None]
-                      + vn[:, 2] * hits.b2[:, None])
+    vn0 = vm.gather3(geom.vn[0], prim)
+    vn1 = vm.gather3(geom.vn[1], prim)
+    vn2 = vm.gather3(geom.vn[2], prim)
+    ns = vm.normalize(vn0 * b0 + vn1 * hits.b1 + vn2 * hits.b2)
     # shading normal must be in the same hemisphere as geometric
     # (Shape.getShadingGeometry convention)
     ns = vm.face_forward(ns, ng)
-    uvc = geom.uv[prim]                    # (R, 3, 2)
-    uv = (uvc[:, 0] * b0[:, None] + uvc[:, 1] * hits.b1[:, None]
-          + uvc[:, 2] * hits.b2[:, None])
+    uv0 = vm.V2(geom.uv[0].x[prim], geom.uv[0].y[prim])
+    uv1 = vm.V2(geom.uv[1].x[prim], geom.uv[1].y[prim])
+    uv2 = vm.V2(geom.uv[2].x[prim], geom.uv[2].y[prim])
+    uv = vm.V2(uv0.x * b0 + uv1.x * hits.b1 + uv2.x * hits.b2,
+               uv0.y * b0 + uv1.y * hits.b1 + uv2.y * hits.b2)
     # dpdu/dpdv from uv parameterization (triangle.dart partial derivatives)
-    duv1 = uvc[:, 1] - uvc[:, 0]
-    duv2 = uvc[:, 2] - uvc[:, 0]
-    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    du1 = uv1 - uv0
+    du2 = uv2 - uv0
+    det = du1.x * du2.y - du1.y * du2.x
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
-    dpdu = (e1g * duv2[:, 1:2] - e2g * duv1[:, 1:2]) * inv[:, None]
-    dpdv = (-e1g * duv2[:, 0:1] + e2g * duv1[:, 0:1]) * inv[:, None]
+    dpdu = (e1g * du2.y - e2g * du1.y) * inv
+    dpdv = (e2g * du1.x - e1g * du2.x) * inv
     degen = jnp.abs(det) < 1e-12
     cu, cv = vm.coordinate_system(ng)
-    dpdu = jnp.where(degen[:, None], cu, dpdu)
-    dpdv = jnp.where(degen[:, None], cv, dpdv)
+    dpdu = vm.where3(degen, cu, dpdu)
+    dpdv = vm.where3(degen, cv, dpdv)
     out = dict(
         p=p, ng=ng, ns=ns, uv=uv, dpdu=dpdu, dpdv=dpdv,
         wo=-rays.d, mat_id=geom.mat_id[prim], light_id=geom.light_id[prim],
         prim=hits.prim, t=hits.t, time=rays.time)
     if diffs is not None:
         duv = _uv_footprint(p, ng, dpdu, dpdv, diffs)
-        out["tex_duv"] = duv                       # (R,4) dudx dvdx dudy dvdy
-        out["tex_width"] = jnp.max(jnp.abs(duv), axis=-1)
+        out["tex_duv"] = duv          # (dudx, dvdx, dudy, dvdy) of (R,)
+        out["tex_width"] = jnp.maximum(
+            jnp.maximum(jnp.abs(duv[0]), jnp.abs(duv[1])),
+            jnp.maximum(jnp.abs(duv[2]), jnp.abs(duv[3])))
     return out
 
 
 def _uv_footprint(p, ng, dpdu, dpdv, diffs):
     """Per-ray uv-space screen footprint: intersect the +1px x/y rays with
     the tangent plane, solve the 2x2 system for du/dv per axis, and return
-    the raw (R, 4) [dudx dvdx dudy dvdy] derivatives (computeDifferentials
+    the (dudx, dvdx, dudy, dvdy) derivative tuple (computeDifferentials
     semantics, differential_geometry.dart) — both ellipse axes, feeding the
     anisotropic imagemap filter (mipmap.dart:226-340 lookup2 analog)."""
     def plane_hit(o, d):
         denom = vm.dot(d, ng)
         tt = vm.dot(p - o, ng) / jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
-        return o + d * tt[:, None]
+        return o + d * tt
 
     dpdx = plane_hit(diffs.rx_o, diffs.rx_d) - p
     dpdy = plane_hit(diffs.ry_o, diffs.ry_d) - p
-    # pick the two dominant axes of the normal's complement
-    an = jnp.abs(ng)
-    # axes (0,1,2) minus argmax(an): build both candidate pairs and select
-    amax = jnp.argmax(an, axis=-1)
-    ax0 = jnp.where(amax == 0, 1, 0)
-    ax1 = jnp.where(amax == 2, 1, 2)
-    idx = jnp.stack([ax0, ax1], axis=-1)                    # (R, 2)
-    take2 = lambda v: jnp.take_along_axis(v, idx, axis=-1)  # (R, 2)
-    a00 = take2(dpdu)[:, 0]
-    a01 = take2(dpdv)[:, 0]
-    a10 = take2(dpdu)[:, 1]
-    a11 = take2(dpdv)[:, 1]
+    # pick the two dominant axes of the normal's complement: component
+    # selects instead of take_along_axis
+    anx, any_, anz = jnp.abs(ng.x), jnp.abs(ng.y), jnp.abs(ng.z)
+    x_big = (anx >= any_) & (anx >= anz)
+    z_big = (anz > anx) & (anz > any_)
+    # amax==0 -> axes (1,2); amax==2 -> axes (0,1); else (0,2)
+    sel0 = lambda v: jnp.where(x_big, v.y, v.x)
+    sel1 = lambda v: jnp.where(z_big, v.y, v.z)
+    a00 = sel0(dpdu)
+    a01 = sel0(dpdv)
+    a10 = sel1(dpdu)
+    a11 = sel1(dpdv)
     det = a00 * a11 - a01 * a10
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
     ok = jnp.abs(det) >= 1e-12
 
     def solve(b):
-        b0, b1 = take2(b)[:, 0], take2(b)[:, 1]
+        b0, b1 = sel0(b), sel1(b)
         du = (a11 * b0 - a01 * b1) * inv
         dv = (-a10 * b0 + a00 * b1) * inv
         return jnp.where(ok, du, 0.0), jnp.where(ok, dv, 0.0)
 
     dudx, dvdx = solve(dpdx)
     dudy, dvdy = solve(dpdy)
-    return jnp.stack([dudx, dvdx, dudy, dvdy], axis=-1)
+    return (dudx, dvdx, dudy, dvdy)
 
 
 def ray_epsilon(t):

@@ -191,37 +191,46 @@ _G /= np.linalg.norm(_G, axis=-1, keepdims=True)
 
 
 def perlin(p):
-    """Classic gradient noise at (..., 3) points, in [-1, 1]."""
+    """Classic gradient noise at V3 points, in [-1, 1]."""
+    from .core import math as vm
+    p = vm.from_arr(p)
     perm = jnp.asarray(_PERM2)
-    grad = jnp.asarray(_G, jnp.float32)
-    pi = jnp.floor(p).astype(jnp.int32)
-    pf = p - jnp.floor(p)
-    w = pf * pf * pf * (pf * (pf * 6.0 - 15.0) + 10.0)  # smootherstep
+    gx = jnp.asarray(_G[:, 0], jnp.float32)
+    gy = jnp.asarray(_G[:, 1], jnp.float32)
+    gz = jnp.asarray(_G[:, 2], jnp.float32)
+    fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
+    pix = fx.astype(jnp.int32)
+    piy = fy.astype(jnp.int32)
+    piz = fz.astype(jnp.int32)
+    pfx, pfy, pfz = p.x - fx, p.y - fy, p.z - fz
+    sm = lambda t: t * t * t * (t * (t * 6.0 - 15.0) + 10.0)  # smootherstep
+    wx, wy, wz = sm(pfx), sm(pfy), sm(pfz)
 
     def g(dx, dy, dz):
-        ix = (pi[..., 0] + dx) & 255
-        iy = (pi[..., 1] + dy) & 255
-        iz = (pi[..., 2] + dz) & 255
+        ix = (pix + dx) & 255
+        iy = (piy + dy) & 255
+        iz = (piz + dz) & 255
         h = perm[perm[perm[ix] + iy] + iz]
-        gv = grad[h]
-        d = pf - jnp.asarray([dx, dy, dz], jnp.float32)
-        return jnp.sum(gv * d, axis=-1)
+        return (gx[h] * (pfx - dx) + gy[h] * (pfy - dy)
+                + gz[h] * (pfz - dz))
 
     def lerp(t, a, b):
         return a + t * (b - a)
 
-    x00 = lerp(w[..., 0], g(0, 0, 0), g(1, 0, 0))
-    x10 = lerp(w[..., 0], g(0, 1, 0), g(1, 1, 0))
-    x01 = lerp(w[..., 0], g(0, 0, 1), g(1, 0, 1))
-    x11 = lerp(w[..., 0], g(0, 1, 1), g(1, 1, 1))
-    y0 = lerp(w[..., 1], x00, x10)
-    y1 = lerp(w[..., 1], x01, x11)
-    return lerp(w[..., 2], y0, y1)
+    x00 = lerp(wx, g(0, 0, 0), g(1, 0, 0))
+    x10 = lerp(wx, g(0, 1, 0), g(1, 1, 0))
+    x01 = lerp(wx, g(0, 0, 1), g(1, 0, 1))
+    x11 = lerp(wx, g(0, 1, 1), g(1, 1, 1))
+    y0 = lerp(wy, x00, x10)
+    y1 = lerp(wy, x01, x11)
+    return lerp(wz, y0, y1)
 
 
 def fbm(p, octaves=8, omega=0.5):
-    """(texture.dart FBm) fixed-octave fractal sum."""
-    out = jnp.zeros(p.shape[:-1], jnp.float32)
+    """(texture.dart FBm) fixed-octave fractal sum. p: V3."""
+    from .core import math as vm
+    p = vm.from_arr(p)
+    out = jnp.zeros(jnp.shape(p.x), jnp.float32)
     lam, o = 1.0, 1.0
     for _ in range(int(octaves)):
         out = out + o * perlin(p * lam)
@@ -231,7 +240,9 @@ def fbm(p, octaves=8, omega=0.5):
 
 
 def turbulence(p, octaves=8, omega=0.5):
-    out = jnp.zeros(p.shape[:-1], jnp.float32)
+    from .core import math as vm
+    p = vm.from_arr(p)
+    out = jnp.zeros(jnp.shape(p.x), jnp.float32)
     lam, o = 1.0, 1.0
     for _ in range(int(octaves)):
         out = out + o * jnp.abs(perlin(p * lam))
@@ -241,6 +252,23 @@ def turbulence(p, octaves=8, omega=0.5):
 
 
 # --- evaluation ------------------------------------------------------------
+# All color values flow as component-SoA vm.V3; it["uv"] is a vm.V2 and
+# it["p"] a vm.V3 (the round-4 SoA wavefront layout).
+
+def _gp(prm_col, tid):
+    """Lane-packed scalar-param gather: params column c at tid."""
+    return prm_col[tid]
+
+
+def _xform_pt(tex: TextureData, tid, p):
+    """Per-ray world2tex point transform with component gathers."""
+    from .core import math as vm
+    w = tex.world2tex
+    m = [[w[:, i, j][tid] for j in range(4)] for i in range(3)]
+    return vm.V3(m[0][0] * p.x + m[0][1] * p.y + m[0][2] * p.z + m[0][3],
+                 m[1][0] * p.x + m[1][1] * p.y + m[1][2] * p.z + m[1][3],
+                 m[2][0] * p.x + m[2][1] * p.y + m[2][2] * p.z + m[2][3])
+
 
 def _map_uv(tex: TextureData, tid, it):
     """2D mapping -> (u, v) per ray (lib/core/texture/*.dart).
@@ -248,26 +276,28 @@ def _map_uv(tex: TextureData, tid, it):
     MAP_UV: u = su*u + du (uv_mapping2d.dart). MAP_SPHERICAL: theta/pi,
     phi/2pi of the world2tex-transformed point. MAP_CYLINDRICAL: phi/2pi, z.
     MAP_PLANAR: p.vs + du, p.vt + dv with vs/vt as world2tex rows 0/1."""
-    prm = tex.params[tid]
-    su, sv, du, dv = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
+    su = tex.params[:, 0][tid]
+    sv = tex.params[:, 1][tid]
+    du = tex.params[:, 2][tid]
+    dv = tex.params[:, 3][tid]
     uv = it["uv"]
-    u0 = uv[..., 0] * su + du
-    v0 = uv[..., 1] * sv + dv
+    u0 = uv.x * su + du
+    v0 = uv.y * sv + dv
     if not tex.has_mapping:
         return u0, v0
-    mode = prm[..., 8].astype(jnp.int32)
-    m = tex.world2tex[tid]
-    pt = jnp.einsum("rij,rj->ri", m[..., :3, :3], it["p"]) + m[..., :3, 3]
-    r_len = jnp.sqrt(jnp.maximum(jnp.sum(pt * pt, axis=-1), 1e-18))
-    theta = jnp.arccos(jnp.clip(pt[..., 2] / r_len, -1.0, 1.0))
-    phi = jnp.arctan2(pt[..., 1], pt[..., 0])
+    mode = tex.params[:, 8][tid].astype(jnp.int32)
+    pt = _xform_pt(tex, tid, it["p"])
+    r_len = jnp.sqrt(jnp.maximum(pt.x * pt.x + pt.y * pt.y + pt.z * pt.z,
+                                 1e-18))
+    theta = jnp.arccos(jnp.clip(pt.z / r_len, -1.0, 1.0))
+    phi = jnp.arctan2(pt.y, pt.x)
     phi = jnp.where(phi < 0, phi + 2.0 * np.pi, phi)
     u_s = theta * (1.0 / np.pi)
     v_s = phi * (0.5 / np.pi)
     u_c = phi * (0.5 / np.pi)
-    v_c = pt[..., 2]
-    u_p = pt[..., 0] + du
-    v_p = pt[..., 1] + dv
+    v_c = pt.z
+    u_p = pt.x + du
+    v_p = pt.y + dv
     u = jnp.where(mode == MAP_SPHERICAL, u_s,
                   jnp.where(mode == MAP_CYLINDRICAL, u_c,
                             jnp.where(mode == MAP_PLANAR, u_p, u0)))
@@ -279,11 +309,11 @@ def _map_uv(tex: TextureData, tid, it):
 
 def _bilinear_level(tex: TextureData, tid, u, v, level):
     """Bilinear lookup at an integer mip level (MIPMap.triangle,
-    mipmap.dart:342-...), repeat wrap."""
-    meta = tex.img_meta[tid]
-    w0, h0 = meta[..., 1], meta[..., 2]
-    off = jnp.take_along_axis(tex.mip_off[tid], level[..., None],
-                              axis=-1)[..., 0]
+    mipmap.dart:342-...), repeat wrap. Returns V3."""
+    from .core import math as vm
+    w0 = tex.img_meta[:, 1][tid]
+    h0 = tex.img_meta[:, 2][tid]
+    off = tex.mip_off[tid, level]
     w = jnp.maximum(w0 >> level, 1)
     h = jnp.maximum(h0 >> level, 1)
     wf = w.astype(jnp.float32)
@@ -292,13 +322,17 @@ def _bilinear_level(tex: TextureData, tid, u, v, level):
     vv = (v % 1.0) * hf - 0.5
     x0 = jnp.floor(uu).astype(jnp.int32)
     y0 = jnp.floor(vv).astype(jnp.int32)
-    fx = (uu - x0)[..., None]
-    fy = (vv - y0)[..., None]
+    fx = uu - x0
+    fy = vv - y0
+    tr = tex.texels[:, 0]
+    tg = tex.texels[:, 1]
+    tb = tex.texels[:, 2]
 
     def at(x, y):
         xm = jnp.where(w0 > 0, x % w, 0)
         ym = jnp.where(h0 > 0, y % h, 0)
-        return tex.texels[off + ym * w + xm]
+        i = off + ym * w + xm
+        return vm.V3(tr[i], tg[i], tb[i])
 
     c00 = at(x0, y0)
     c10 = at(x0 + 1, y0)
@@ -313,8 +347,7 @@ def _img_lookup(tex: TextureData, tid, u, v, width=None):
     nLevels-1 + log2(max(width, tiny)), lerp between the two bracketing
     bilinear levels. width = uv-space footprint from ray differentials
     (zero/None -> finest level, the reference's no-differentials behavior)."""
-    meta = tex.img_meta[tid]
-    nlev = meta[..., 3]
+    nlev = tex.img_meta[:, 3][tid]
     if width is None:
         return _bilinear_level(tex, tid, u, v, jnp.zeros_like(nlev))
     lvl_f = (nlev - 1).astype(jnp.float32) + \
@@ -322,7 +355,7 @@ def _img_lookup(tex: TextureData, tid, u, v, width=None):
     lvl_f = jnp.clip(lvl_f, 0.0, jnp.maximum(nlev - 1, 0).astype(jnp.float32))
     l0 = jnp.floor(lvl_f).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, jnp.maximum(nlev - 1, 0))
-    t = (lvl_f - l0)[..., None]
+    t = lvl_f - l0
     c0 = _bilinear_level(tex, tid, u, v, l0)
     c1 = _bilinear_level(tex, tid, u, v, l1)
     return c0 * (1 - t) + c1 * t
@@ -341,14 +374,13 @@ def _img_lookup_aniso(tex: TextureData, tid, u, v, duv):
     grazing-angle footprints, fixed gather count). Anisotropy is clamped to
     MAX_ANISO by widening the minor axis, exactly as lookup2 does.
 
-    duv: (R, 4) [dudx dvdx dudy dvdy] uv-space footprint axes."""
-    d0 = duv[..., 0:2]
-    d1 = duv[..., 2:4]
-    l0 = jnp.sum(d0 * d0, axis=-1)
-    l1 = jnp.sum(d1 * d1, axis=-1)
+    duv: 4-tuple (dudx, dvdx, dudy, dvdy) of (R,) uv-footprint axes."""
+    dudx, dvdx, dudy, dvdy = duv
+    l0 = dudx * dudx + dvdx * dvdx
+    l1 = dudy * dudy + dvdy * dvdy
     swap = l1 > l0
-    major = jnp.where(swap[..., None], d1, d0)
-    minor_v = jnp.where(swap[..., None], d0, d1)
+    major_u = jnp.where(swap, dudy, dudx)
+    major_v = jnp.where(swap, dvdy, dvdx)
     maj_len = jnp.sqrt(jnp.maximum(jnp.maximum(l0, l1), 1e-16))
     min_len = jnp.sqrt(jnp.maximum(jnp.minimum(l0, l1), 1e-16))
     # clamp anisotropy (mipmap.dart:245-252): widen minor, keep major
@@ -358,65 +390,69 @@ def _img_lookup_aniso(tex: TextureData, tid, u, v, duv):
     for i in range(ANISO_PROBES):
         t = (i + 0.5) / ANISO_PROBES - 0.5          # [-0.5, 0.5)
         w_i = float(np.exp(-2.0 * (2.0 * t) ** 2))  # gaussian falloff
-        ui = u + major[..., 0] * t
-        vi = v + major[..., 1] * t
+        ui = u + major_u * t
+        vi = v + major_v * t
         c = _img_lookup(tex, tid, ui, vi, min_len)
         acc = c * w_i if acc is None else acc + c * w_i
         wsum += w_i
-    return acc / wsum
+    return acc * (1.0 / wsum)
+
+
+def _value3(tex: TextureData, tid):
+    from .core import math as vm
+    return vm.V3(tex.value[:, 0][tid], tex.value[:, 1][tid],
+                 tex.value[:, 2][tid])
 
 
 def _eval_leaf(tex: TextureData, tid, it):
     """Evaluate leaf kinds for all rays (masked select). Families absent
-    from the table are skipped at trace time (kinds_present gating)."""
+    from the table are skipped at trace time (kinds_present gating).
+    Returns V3."""
+    from .core import math as vm
     present = set(tex.kinds_present)
     kind = tex.kind[tid]
-    prm = tex.params[tid]
-    p = it["p"]
-    su, sv = prm[..., 0], prm[..., 1]
+    su = tex.params[:, 0][tid]
+    sv = tex.params[:, 1][tid]
     u, v = _map_uv(tex, tid, it)
-    out = tex.value[tid]                                   # CONST
+    out = _value3(tex, tid)                                # CONST
     if IMAGEMAP in present:
         duv = it.get("tex_duv")
         if duv is not None:
             # scale the uv footprint axes by the mapping scale (image_texture
             # passes dsdx = dudx * su etc.)
-            sc = jnp.stack([su, sv, su, sv], axis=-1)
-            img = _img_lookup_aniso(tex, tid, u, v, duv * sc) \
-                * tex.value[tid]
+            sc = (duv[0] * su, duv[1] * sv, duv[2] * su, duv[3] * sv)
+            img = _img_lookup_aniso(tex, tid, u, v, sc) * _value3(tex, tid)
         else:
             width = it.get("tex_width")
             if width is not None:
                 width = width * jnp.maximum(jnp.abs(su), jnp.abs(sv))
-            img = _img_lookup(tex, tid, u, v, width) * tex.value[tid]
-        out = jnp.where((kind == IMAGEMAP)[..., None], img, out)
+            img = _img_lookup(tex, tid, u, v, width) * _value3(tex, tid)
+        out = vm.where3(kind == IMAGEMAP, img, out)
     if UV in present:
-        uvv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros_like(u)], axis=-1)
-        out = jnp.where((kind == UV)[..., None], uvv, out)
+        uvv = vm.V3(u % 1.0, v % 1.0, jnp.zeros_like(u))
+        out = vm.where3(kind == UV, uvv, out)
     if present & {FBM, WRINKLED, MARBLE, WINDY}:
-        m = tex.world2tex[tid]
-        pt = jnp.einsum("rij,rj->ri", m[..., :3, :3], p) + m[..., :3, 3]
+        pt = _xform_pt(tex, tid, it["p"])
         octv = 8
         if FBM in present:
-            f = fbm(pt, octv, 0.5)
-            out = jnp.where((kind == FBM)[..., None],
-                            f[..., None] * tex.value[tid], out)
+            fv = fbm(pt, octv, 0.5)
+            out = vm.where3(kind == FBM, _value3(tex, tid) * fv, out)
         if WRINKLED in present:
             t = turbulence(pt, octv, 0.5)
-            out = jnp.where((kind == WRINKLED)[..., None],
-                            t[..., None] * tex.value[tid], out)
+            out = vm.where3(kind == WRINKLED, _value3(tex, tid) * t, out)
         if MARBLE in present:
-            scale_ = jnp.where(prm[..., 6] == 0.0, 1.0, prm[..., 6])
-            var = jnp.where(prm[..., 7] == 0.0, 0.2, prm[..., 7])
-            mar = jnp.sin(pt[..., 1] * scale_
-                          + var * fbm(pt * scale_[..., None], octv, 0.5))
+            p6 = tex.params[:, 6][tid]
+            p7 = tex.params[:, 7][tid]
+            scale_ = jnp.where(p6 == 0.0, 1.0, p6)
+            var = jnp.where(p7 == 0.0, 0.2, p7)
+            mar = jnp.sin(pt.y * scale_ + var * fbm(pt * scale_, octv, 0.5))
             mar01 = 0.5 + 0.5 * mar
-            marble_rgb = jnp.stack([0.35 + 0.6 * mar01, 0.3 + 0.5 * mar01,
-                                    0.27 + 0.4 * mar01], axis=-1)
-            out = jnp.where((kind == MARBLE)[..., None], marble_rgb, out)
+            marble_rgb = vm.V3(0.35 + 0.6 * mar01, 0.3 + 0.5 * mar01,
+                               0.27 + 0.4 * mar01)
+            out = vm.where3(kind == MARBLE, marble_rgb, out)
         if WINDY in present:
             wind = jnp.abs(fbm(pt * 0.1, 3, 0.5)) * fbm(pt, 6, 0.5)
-            out = jnp.where((kind == WINDY)[..., None], wind[..., None], out)
+            out = vm.where3(kind == WINDY, vm.V3(wind, wind, wind), out)
     return out
 
 
@@ -424,66 +460,70 @@ _COMBINATORS = {SCALE, MIX, CHECKER2D, CHECKER3D, DOTS, BILERP}
 
 
 def evaluate(tex: TextureData, tid, it):
-    """Full evaluation: leaves + one combinator level (statically gated)."""
+    """Full evaluation: leaves + one combinator level (statically gated).
+    Returns V3."""
+    from .core import math as vm
     present = set(tex.kinds_present)
     tid = jnp.maximum(tid, 0)
     kind = tex.kind[tid]
     out = _eval_leaf(tex, tid, it)
     if not (present & _COMBINATORS):
         return out
-    sub1 = jnp.maximum(tex.sub[tid][..., 0], 0)
-    sub2 = jnp.maximum(tex.sub[tid][..., 1], 0)
+    sub1 = jnp.maximum(tex.sub[:, 0][tid], 0)
+    sub2 = jnp.maximum(tex.sub[:, 1][tid], 0)
     c1 = _eval_leaf(tex, sub1, it)
     c2 = _eval_leaf(tex, sub2, it)
-    prm = tex.params[tid]
     u, v = _map_uv(tex, tid, it)
     if SCALE in present:
-        out = jnp.where((kind == SCALE)[..., None], c1 * c2, out)
+        out = vm.where3(kind == SCALE, c1 * c2, out)
     if MIX in present:
-        amt = prm[..., 4:5]
-        out = jnp.where((kind == MIX)[..., None],
-                        c1 * (1 - amt) + c2 * amt, out)
+        amt = tex.params[:, 4][tid]
+        out = vm.where3(kind == MIX, c1 * (1 - amt) + c2 * amt, out)
     if CHECKER2D in present:
         # (closed-form antialiasing pending; point-sampled)
         check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
-        out = jnp.where((kind == CHECKER2D)[..., None],
-                        jnp.where(check[..., None], c1, c2), out)
+        out = vm.where3(kind == CHECKER2D, vm.where3(check, c1, c2), out)
     if CHECKER3D in present:
-        m = tex.world2tex[tid]
-        pt = jnp.einsum("rij,rj->ri", m[..., :3, :3], it["p"]) \
-            + m[..., :3, 3]
-        check3 = ((jnp.floor(pt[..., 0]) + jnp.floor(pt[..., 1])
-                   + jnp.floor(pt[..., 2])).astype(jnp.int32) % 2) == 0
-        out = jnp.where((kind == CHECKER3D)[..., None],
-                        jnp.where(check3[..., None], c1, c2), out)
+        pt = _xform_pt(tex, tid, it["p"])
+        check3 = ((jnp.floor(pt.x) + jnp.floor(pt.y)
+                   + jnp.floor(pt.z)).astype(jnp.int32) % 2) == 0
+        out = vm.where3(kind == CHECKER3D, vm.where3(check3, c1, c2), out)
     if DOTS in present:
         cx = jnp.floor(u + 0.5)
         cy = jnp.floor(v + 0.5)
         rad = 0.35
-        jx = perlin(jnp.stack([cx + 0.5, cy + 0.5,
-                               jnp.zeros_like(cx)], -1)) * 0.5
-        jy = perlin(jnp.stack([cx + 1.5, cy + 2.8,
-                               jnp.zeros_like(cx)], -1)) * 0.5
+        zero = jnp.zeros_like(cx)
+        jx = perlin(vm.V3(cx + 0.5, cy + 0.5, zero)) * 0.5
+        jy = perlin(vm.V3(cx + 1.5, cy + 2.8, zero)) * 0.5
         inside = ((u - (cx + jx)) ** 2 + (v - (cy + jy)) ** 2) < rad * rad
-        out = jnp.where((kind == DOTS)[..., None],
-                        jnp.where(inside[..., None], c1, c2), out)
+        out = vm.where3(kind == DOTS, vm.where3(inside, c1, c2), out)
     if BILERP in present:
-        v00 = tex.value[tid]
-        v01 = prm[..., 4:7]
-        v10 = jnp.stack([prm[..., 7]] * 3, axis=-1)
-        bl = ((1 - u) * (1 - v))[..., None] * v00 \
-            + ((1 - u) * v)[..., None] * v01 \
-            + (u * (1 - v))[..., None] * v10 + (u * v)[..., None] * c1
-        out = jnp.where((kind == BILERP)[..., None], bl, out)
+        v00 = _value3(tex, tid)
+        v01 = vm.V3(tex.params[:, 4][tid], tex.params[:, 5][tid],
+                    tex.params[:, 6][tid])
+        p7 = tex.params[:, 7][tid]
+        v10 = vm.V3(p7, p7, p7)
+        bl = (v00 * ((1 - u) * (1 - v)) + v01 * ((1 - u) * v)
+              + v10 * (u * (1 - v)) + c1 * (u * v))
+        out = vm.where3(kind == BILERP, bl, out)
     return out
 
 
 def eval_or(tex: Optional[TextureData], tid, it, fallback):
-    """Evaluate textures where tid >= 0, else use fallback values."""
+    """Evaluate textures where tid >= 0, else use fallback values.
+    fallback: V3 (or scalar); returns V3."""
+    from .core import math as vm
     if tex is None:
         return fallback
     has = tid >= 0
     vals = evaluate(tex, tid, it)
-    if fallback.ndim == 2 and fallback.shape[-1] == 3:
-        return jnp.where(has[..., None], vals, fallback)
-    return jnp.where(has[..., None], vals, fallback)
+    return vm.where3(has, vals, fallback)
+
+
+def eval_or_scalar(tex: Optional[TextureData], tid, it, fallback):
+    """Scalar-parameter texture override: first channel, (R,) in/out."""
+    if tex is None:
+        return fallback
+    has = tid >= 0
+    vals = evaluate(tex, tid, it)
+    return jnp.where(has, vals.x, fallback)

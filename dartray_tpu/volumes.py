@@ -96,24 +96,26 @@ def build_volume(specs: List[tuple]) -> Optional[VolumeData]:
 
 
 def _density(vol: VolumeData, i: int, p_local):
-    """Density multiplier at a volume-space point for region i
+    """Density multiplier at a volume-space point (V3) for region i
     (DensityRegion subclasses)."""
     kind = vol.kind[i]
     lo = vol.bounds[i, 0]
     hi = vol.bounds[i, 1]
-    inside = jnp.all((p_local >= lo) & (p_local <= hi), axis=-1)
+    inside = ((p_local.x >= lo[0]) & (p_local.x <= hi[0])
+              & (p_local.y >= lo[1]) & (p_local.y <= hi[1])
+              & (p_local.z >= lo[2]) & (p_local.z <= hi[2]))
     # exponential: a * exp(-b * h), h = height above p0 along up (+z here;
     # the region's transform orients it — exponential.dart)
     a = vol.params[i, 0]
     b = vol.params[i, 1]
-    h = p_local[..., 2] - lo[2]
+    h = p_local.z - lo[2]
     d_exp = a * jnp.exp(-b * h)
     # grid: trilinear over [p0,p1] normalized coords (volume_grid.dart:44-66)
     nz, ny, nx = vol.grid_shape
-    t = (p_local - lo) / jnp.maximum(hi - lo, 1e-9)
-    gx = t[..., 0] * nx - 0.5
-    gy = t[..., 1] * ny - 0.5
-    gz = t[..., 2] * nz - 0.5
+    ext = jnp.maximum(hi - lo, 1e-9)
+    gx = (p_local.x - lo[0]) / ext[0] * nx - 0.5
+    gy = (p_local.y - lo[1]) / ext[1] * ny - 0.5
+    gz = (p_local.z - lo[2]) / ext[2] * nz - 0.5
     x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, nx - 1)
     y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, ny - 1)
     z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, nz - 1)
@@ -136,40 +138,46 @@ def _density(vol: VolumeData, i: int, p_local):
 
 
 def _to_local(vol: VolumeData, i: int, p):
-    m = vol.w2v[i]
-    return p @ m[:3, :3].T + m[:3, 3]
+    return vm.xform_point3(vol.w2v[i], vm.from_arr(p))
 
 
 def sigma_t(vol: VolumeData, p, _w=None):
-    """(R, 3) extinction at world points p (sum over regions)."""
-    out = jnp.zeros(p.shape, jnp.float32)
+    """V3 extinction at world points p (sum over regions)."""
+    p = vm.from_arr(p)
+    out = vm.v3zeros(jnp.shape(p.x))
     for i in range(vol.n):
-        d = _density(vol, i, _to_local(vol, i, p))[..., None]
-        out = out + d * (vol.sigma_a[i] + vol.sigma_s[i])
+        d = _density(vol, i, _to_local(vol, i, p))
+        se = vol.sigma_a[i] + vol.sigma_s[i]
+        out = out + vm.V3(d * se[0], d * se[1], d * se[2])
     return out
 
 
 def sigma_s(vol: VolumeData, p, _w=None):
-    out = jnp.zeros(p.shape, jnp.float32)
+    p = vm.from_arr(p)
+    out = vm.v3zeros(jnp.shape(p.x))
     for i in range(vol.n):
-        d = _density(vol, i, _to_local(vol, i, p))[..., None]
-        out = out + d * vol.sigma_s[i]
+        d = _density(vol, i, _to_local(vol, i, p))
+        ss = vol.sigma_s[i]
+        out = out + vm.V3(d * ss[0], d * ss[1], d * ss[2])
     return out
 
 
 def lve(vol: VolumeData, p, _w=None):
-    out = jnp.zeros(p.shape, jnp.float32)
+    p = vm.from_arr(p)
+    out = vm.v3zeros(jnp.shape(p.x))
     for i in range(vol.n):
-        d = _density(vol, i, _to_local(vol, i, p))[..., None]
-        out = out + d * vol.le[i]
+        d = _density(vol, i, _to_local(vol, i, p))
+        le = vol.le[i]
+        out = out + vm.V3(d * le[0], d * le[1], d * le[2])
     return out
 
 
 def phase(vol: VolumeData, p, wo, wi):
     """Density-weighted HG phase (AggregateVolume.p)."""
     from .core import sampling as smp
-    out = jnp.zeros(p.shape[:-1], jnp.float32)
-    wsum = jnp.zeros(p.shape[:-1], jnp.float32)
+    p = vm.from_arr(p)
+    out = jnp.zeros(jnp.shape(p.x), jnp.float32)
+    wsum = jnp.zeros(jnp.shape(p.x), jnp.float32)
     for i in range(vol.n):
         d = _density(vol, i, _to_local(vol, i, p))
         out = out + d * smp.hg_pdf(vm.dot(-wo, wi), vol.g[i])
@@ -182,16 +190,27 @@ def intersect_bounds(vol: VolumeData, rays):
     (AggregateVolume.intersectP)."""
     t0 = jnp.full(rays.tmin.shape, jnp.inf)
     t1 = jnp.full(rays.tmin.shape, -jnp.inf)
+    ro = vm.from_arr(rays.o)
+    rd = vm.from_arr(rays.d)
     for i in range(vol.n):
         m = vol.w2v[i]
-        o = rays.o @ m[:3, :3].T + m[:3, 3]
-        d = rays.d @ m[:3, :3].T
-        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                                jnp.where(d < 0, -1e-12, 1e-12), d)
-        ta = (vol.bounds[i, 0] - o) * inv_d
-        tb = (vol.bounds[i, 1] - o) * inv_d
-        tn = jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=-1), rays.tmin)
-        tf = jnp.minimum(jnp.min(jnp.maximum(ta, tb), axis=-1), rays.tmax)
+        o = vm.xform_point3(m, ro)
+        d = vm.xform_vector3(m, rd)
+
+        def slab(oc, dc, lo_c, hi_c):
+            inv = 1.0 / jnp.where(jnp.abs(dc) < 1e-12,
+                                  jnp.where(dc < 0, -1e-12, 1e-12), dc)
+            ta = (lo_c - oc) * inv
+            tb = (hi_c - oc) * inv
+            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+        nx_, fx_ = slab(o.x, d.x, vol.bounds[i, 0, 0], vol.bounds[i, 1, 0])
+        ny_, fy_ = slab(o.y, d.y, vol.bounds[i, 0, 1], vol.bounds[i, 1, 1])
+        nz_, fz_ = slab(o.z, d.z, vol.bounds[i, 0, 2], vol.bounds[i, 1, 2])
+        tn = jnp.maximum(jnp.maximum(nx_, ny_),
+                         jnp.maximum(nz_, rays.tmin))
+        tf = jnp.minimum(jnp.minimum(fx_, fy_),
+                         jnp.minimum(fz_, rays.tmax))
         ok = tn <= tf
         t0 = jnp.where(ok, jnp.minimum(t0, tn), t0)
         t1 = jnp.where(ok, jnp.maximum(t1, tf), t1)
@@ -201,15 +220,16 @@ def intersect_bounds(vol: VolumeData, rays):
 
 def tau(vol: VolumeData, rays, step: float, offset, n_steps: int = 64):
     """Optical thickness along [tmin, tmax] by jittered ray marching
-    (density_region.dart tau / volume.dart). offset: (R,) jitter in [0,1)."""
+    (density_region.dart tau / volume.dart). offset: (R,) jitter in [0,1).
+    Returns V3."""
     t0, t1, hit = intersect_bounds(vol, rays)
     length = t1 - t0
     dt = jnp.maximum(length / n_steps, 1e-8)
 
     def body(k, acc):
         t = t0 + (k.astype(jnp.float32) + offset) * dt
-        return acc + sigma_t(vol, rays.at(t)) * dt[..., None]
+        return acc + sigma_t(vol, rays.at(t)) * dt
 
     acc = jax.lax.fori_loop(0, n_steps, body,
-                            jnp.zeros(rays.o.shape, jnp.float32))
-    return jnp.where(hit[..., None], acc, 0.0)
+                            vm.v3zeros(jnp.shape(rays.tmin)))
+    return vm.where3(hit, acc, 0.0)

@@ -22,3 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of render waves; caching them across runs keeps the default gate
+# fast (first run pays, every later run loads). VERDICT r3 #9.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

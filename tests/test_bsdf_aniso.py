@@ -4,18 +4,19 @@ import numpy as np
 import jax.numpy as jnp
 
 from dartray_tpu import bsdf as bx
+from dartray_tpu.core import math as vm
 
 
 def _frame(n):
-    ns = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
-    s = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
-    t = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    ns = vm.bcast3(vm.splat3([0.0, 0.0, 1.0]), (n,))
+    s = vm.bcast3(vm.splat3([1.0, 0.0, 0.0]), (n,))
+    t = vm.bcast3(vm.splat3([0.0, 1.0, 0.0]), (n,))
     return bx.Frame(s=s, t=t, n=ns, ng=ns)
 
 
 def _params(n, ex, ey):
     p = bx.zero_params(n)
-    return p._replace(ks=jnp.ones((n, 3)) * 0.8,
+    return p._replace(ks=vm.v3full((n,), (0.8, 0.8, 0.8)),
                       exponent=jnp.full((n,), ex),
                       exponent_v=jnp.full((n,), ey),
                       gloss_fresnel=jnp.zeros((n,), jnp.int32))  # FR_NOOP
@@ -31,18 +32,17 @@ def test_isotropic_reduces_to_blinn():
     wi = rng.randn(n, 3).astype(np.float32)
     wi[:, 2] = np.abs(wi[:, 2]) + 0.1
     wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
-    wo, wi = jnp.asarray(wo), jnp.asarray(wi)
+    wo, wi = vm.from_arr(jnp.asarray(wo)), vm.from_arr(jnp.asarray(wi))
     e = jnp.full((n,), 40.0)
     pdf_a = bx._aniso_pdf(e, e, wo, wi)
-    wh = wo + wi
-    wh = wh / jnp.linalg.norm(wh, axis=-1, keepdims=True)
+    wh = vm.normalize(wo + wi)
     d_a = bx._aniso_d(e, e, wh)
-    d_b = bx._blinn_d(e, jnp.abs(wh[..., 2]))
+    d_b = bx._blinn_d(e, jnp.abs(wh.z))
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b),
                                rtol=1e-4)
     # pdf matches the closed-form Blinn half-vector pdf
-    wodoth = jnp.abs(jnp.sum(wo * wh, axis=-1))
-    pdf_b = (e + 1.0) * jnp.abs(wh[..., 2]) ** e / (
+    wodoth = jnp.abs(vm.dot(wo, wh))
+    pdf_b = (e + 1.0) * jnp.abs(wh.z) ** e / (
         2.0 * np.pi * 4.0 * wodoth)
     np.testing.assert_allclose(np.asarray(pdf_a), np.asarray(pdf_b),
                                rtol=1e-3)
@@ -54,14 +54,12 @@ def test_anisotropic_highlight_direction_dependent():
     n = 2
     frame = _frame(n)
     p = _params(n, ex=1000.0, ey=10.0)
-    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    wo = vm.bcast3(vm.splat3([0.0, 0.0, 1.0]), (n,))
     tilt = 0.25
-    wi_x = jnp.asarray([[2 * tilt, 0.0, 1.0]] * n)
-    wi_x = wi_x / jnp.linalg.norm(wi_x, axis=-1, keepdims=True)
-    wi_y = jnp.asarray([[0.0, 2 * tilt, 1.0]] * n)
-    wi_y = wi_y / jnp.linalg.norm(wi_y, axis=-1, keepdims=True)
-    f_x = float(bx.f(p, frame, wo, wi_x)[0, 0])
-    f_y = float(bx.f(p, frame, wo, wi_y)[0, 0])
+    wi_x = vm.normalize(vm.bcast3(vm.splat3([2 * tilt, 0.0, 1.0]), (n,)))
+    wi_y = vm.normalize(vm.bcast3(vm.splat3([0.0, 2 * tilt, 1.0]), (n,)))
+    f_x = float(bx.f(p, frame, wo, wi_x).x[0])
+    f_y = float(bx.f(p, frame, wo, wi_y).x[0])
     # tight axis (x, exponent 1000) must fall off much faster
     assert f_x < 0.1 * f_y, (f_x, f_y)
 
@@ -71,14 +69,14 @@ def test_aniso_sample_pdf_consistency():
     (the sampling density matches the claimed pdf up to the wi mapping)."""
     n = 4096
     rng = np.random.RandomState(3)
-    u = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+    u = vm.from_arr2(jnp.asarray(rng.rand(n, 2).astype(np.float32)))
     ex = jnp.full((n,), 80.0)
     ey = jnp.full((n,), 6.0)
     wh = bx._aniso_sample_wh(ex, ey, u)
     # pdf of wh itself: sqrt((ex+1)(ey+1))/(2pi) * cos^e
-    costh = jnp.abs(wh[..., 2])
+    costh = jnp.abs(wh.z)
     ds = jnp.maximum(1.0 - costh ** 2, 1e-12)
-    e = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
+    e = (ex * wh.x ** 2 + ey * wh.y ** 2) / ds
     pdf_h = jnp.sqrt((ex + 1.0) * (ey + 1.0)) / (2 * np.pi) * costh ** e
     d = bx._aniso_d(ex, ey, wh)
     ratio = np.asarray(d * costh / jnp.maximum(pdf_h, 1e-12))

@@ -86,7 +86,7 @@ def test_tmin_tmax_respected():
     t = np.asarray(h.t)[hit]
     # re-shoot with tmax just below each hit: must miss that prim at that t
     idx = np.where(hit)[0]
-    rays2 = vm.Rays(o=rays.o[idx], d=rays.d[idx],
+    rays2 = vm.Rays(o=vm.gather3(rays.o, idx), d=vm.gather3(rays.d, idx),
                     tmin=rays.tmin[idx],
                     tmax=jnp.asarray(t * 0.99), time=rays.time[idx])
     h2 = traverse.intersect(jnp.asarray(b.rows), jnp.asarray(b.links), rays2)

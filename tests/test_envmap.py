@@ -54,8 +54,9 @@ def test_env_sample_histogram_matches_luminance():
     n = 400_000
     rng = np.random.RandomState(3)
     u = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+    from dartray_tpu.core import math as vm
     dir_l, _, _ = lt_mod._env_sample(lt, u)
-    d = np.asarray(dir_l)
+    d = np.asarray(vm.to_arr(dir_l))
     theta = np.arccos(np.clip(d[:, 2], -1, 1))
     phi = np.arctan2(d[:, 1], d[:, 0])
     phi = np.where(phi < 0, phi + 2 * np.pi, phi)
@@ -83,7 +84,9 @@ def test_env_bilinear_lookup_interpolates():
     # directions straddling the step at phi = pi: sample a few phis around
     phis = np.linspace(np.pi - 0.5, np.pi + 0.5, 9)
     d = np.stack([np.cos(phis), np.sin(phis), np.zeros_like(phis)], -1)
-    le = np.asarray(lt_mod.env_le(lt, jnp.asarray(d, jnp.float32)))[:, 0]
+    from dartray_tpu.core import math as vm
+    le = np.asarray(vm.to_arr(
+        lt_mod.env_le(lt, jnp.asarray(d, jnp.float32))))[:, 0]
     # monotone decreasing through the step, with intermediate values
     assert le[0] > 0.95 and le[-1] < 0.05
     assert ((le > 0.1) & (le < 0.9)).any(), le

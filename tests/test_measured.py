@@ -42,10 +42,11 @@ def test_measured_lobe_constant_and_reciprocal():
     wi = rng.normal(size=(4, 3)); wi[:, 2] = np.abs(wi[:, 2]) + 0.1
     wo /= np.linalg.norm(wo, axis=1, keepdims=True)
     wi /= np.linalg.norm(wi, axis=1, keepdims=True)
-    f1 = np.asarray(bx.measured_f(params.meas, jnp.asarray(wo, jnp.float32),
-                                  jnp.asarray(wi, jnp.float32)))
-    f2 = np.asarray(bx.measured_f(params.meas, jnp.asarray(wi, jnp.float32),
-                                  jnp.asarray(wo, jnp.float32)))
+    from dartray_tpu.core import math as vm
+    wo_v = vm.from_arr(jnp.asarray(wo, jnp.float32))
+    wi_v = vm.from_arr(jnp.asarray(wi, jnp.float32))
+    f1 = np.asarray(vm.to_arr(bx.measured_f(params.meas, wo_v, wi_v)))
+    f2 = np.asarray(vm.to_arr(bx.measured_f(params.meas, wi_v, wo_v)))
     assert np.allclose(f1, [0.3, 0.5, 0.7], atol=1e-5)
     # reciprocity is structural in the half-angle parameterization
     assert np.allclose(f1, f2, atol=1e-6)

@@ -90,7 +90,8 @@ def test_photon_shooting_power_accounting():
     # area light power = pi * A * L; direct map alphas sum to ~that
     A = 0.8 * 0.8 * 2 / 2  # two tris, total quad area 0.8^2
     total_power = np.pi * (0.8 * 0.8) * 10.0
-    got = float(jnp.sum(direct.alpha)) / 3.0  # 3 identical channels
+    got = float(jnp.sum(direct.alpha.x + direct.alpha.y
+                        + direct.alpha.z)) / 3.0  # 3 identical channels
     assert 0.5 * total_power < got < 1.3 * total_power
 
 

@@ -17,9 +17,10 @@ def test_van_der_corput_unscrambled():
 def test_sobol2_stratification():
     # first 2^k points of a (0,2)-sequence are stratified: one point per
     # elementary interval
+    from dartray_tpu.core import math as vm
     n = jnp.arange(16, dtype=jnp.uint32)
     scr = jnp.zeros((16, 2), jnp.uint32)
-    s = np.asarray(smp.sample02(n, scr))
+    s = np.asarray(vm.to_arr2(smp.sample02(n, scr)))
     assert s.shape == (16, 2)
     assert (s >= 0).all() and (s < 1).all()
     # 4x4 stratification property of first 16 points
@@ -83,7 +84,8 @@ def test_concentric_disk_in_unit_disk():
 
 def test_cosine_hemisphere():
     u = jnp.asarray(np.random.RandomState(3).rand(20000, 2), jnp.float32)
-    d = np.asarray(smp.cosine_sample_hemisphere(u))
+    from dartray_tpu.core import math as vm
+    d = np.asarray(vm.to_arr(smp.cosine_sample_hemisphere(u)))
     assert (d[:, 2] >= 0).all()
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
     # E[cos] for cosine-weighted = 2/3

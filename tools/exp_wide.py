@@ -70,19 +70,25 @@ def bounce_rays(r):
     return o, d
 
 
-def bench(fn, packed, o, d, tmin, tmax, label, iters=5, **kw):
-    # vary tmax per call (epsilon, doesn't change hits) so no layer can
-    # coalesce identical executions; block every call
-    tmaxes = [tmax * (1.0 + 1e-7 * i) for i in range(iters + 1)]
-    t, p = fn(packed, o, d, tmin, tmaxes[-1], **kw)
-    jax.block_until_ready(t)
-    times = []
+def bench(fn, packed, o, d, tmin, tmax, label, iters=16, **kw):
+    """CHAINED timing: each call's tmax depends on the previous call's
+    output, forcing sequential execution; ONE scalar readback at the end
+    closes the chain. Amortizes the ~60 ms tunnel readback latency AND
+    defeats both axon traps (identical-execution coalescing; lazy
+    execution under bare block_until_ready — see tools/exp_mxu.py)."""
+    t, p = fn(packed, o, d, tmin, tmax, **kw)
+    jax.block_until_ready((t, p))
+    _ = float(jnp.sum(t[:128]))          # prime the executable
+
+    def chain_dep(t_prev):
+        return jnp.sum(jnp.clip(t_prev[:8], 0.0, 1.0)) * 0.0
+
+    t0 = time.time()
     for i in range(iters):
-        t0 = time.time()
-        t, p = fn(packed, o, d, tmin, tmaxes[i], **kw)
-        jax.block_until_ready(t)
-        times.append(time.time() - t0)
-    dt = min(times)
+        t, p = fn(packed, o, d, tmin, tmax + chain_dep(t) + 1e-7 * i, **kw)
+    jax.block_until_ready((t, p))
+    _ = float(jnp.sum(t[:128]))
+    dt = (time.time() - t0) / iters
     r = o.shape[0]
     print(f"{label:34s} {r/dt/1e6:8.2f} Mrays/s  ({dt*1e3:6.2f} ms, "
           f"hit {float((np.asarray(p)>=0).mean()):.3f})", flush=True)
@@ -107,8 +113,9 @@ def main():
                                       jnp.asarray([-1.2] * 3),
                                       jnp.asarray([1.2] * 3))
                 o, d = o[order], d[order]
-            for which, fn in (("v5", tp.traverse5), ("v6", tp.traverse6)):
-                for br in (8, 16):
+            for which, fn in (("v5", tp.traverse5), ("v6", tp.traverse6),
+                              ("v7", tp.traverse7)):
+                for br in (8, 16, 32):
                     if which in ("v4", "v6") and br != 8:
                         continue
                     bench(fn, packed, o, d, tmin, tmax,
