@@ -72,12 +72,13 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
                    time=jnp.zeros_like(eps))
     bh = st.intersect(geom, bray)
     hit_prim = jnp.maximum(bh.prim, 0)
-    hit_light = jnp.where(bh.prim >= 0, geom.light_id[hit_prim], -1)
+    # one wide attr-row gather: precomputed ng + light id
+    hrows = st.attr_rows(geom, hit_prim)
+    hit_lid = jax.lax.bitcast_convert_type(hrows[34], jnp.int32)
+    hit_light = jnp.where(bh.prim >= 0, hit_lid, -1)
     same_light = (hit_light >= 0) & (hit_light == light_idx)
     # emitted radiance from the hit light point (facing test)
-    te1 = vm.gather3(geom.e1, hit_prim)
-    te2 = vm.gather3(geom.e2, hit_prim)
-    n_hit = vm.normalize(vm.cross(te1, te2))
+    n_hit = st.attr_v3(hrows, 9)
     cos_hit = vm.dot(n_hit, -bs.wi)
     li_hit = vm.where3(same_light & (cos_hit > 0),
                        lt_mod._g3(lt.intensity, jnp.maximum(hit_light, 0)),
@@ -158,10 +159,11 @@ def emitter_hit_mis(scene, cur, hits, it, prev_pdf, prev_specular,
         return vm.v3zeros(jnp.shape(cur.tmin))
     n_l = float(lt.n)
     out = vm.v3zeros(jnp.shape(cur.tmin))
-    # emissive surface hit
-    le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"])
-    lid = jnp.where(hits.prim >= 0,
-                    geom.light_id[jnp.maximum(hits.prim, 0)], -1)
+    # emissive surface hit (light id comes from the interaction attr row —
+    # no extra gather)
+    lid = jnp.where(hits.prim >= 0, it["light_id"], -1)
+    le = lt_mod.le_emitted(lt, geom, hits.prim, it["wo"], it["ns"],
+                           lid=it["light_id"])
     cos_hit = vm.absdot(it["ng"], it["wo"])
     pdf_area = lt_mod.pdf_li_area(lt, jnp.maximum(lid, 0), cur.o, cur.d,
                                   hits.t, cos_hit) / n_l

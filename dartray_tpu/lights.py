@@ -471,11 +471,14 @@ def sample_li(lt: LightTable, geom, light_idx, p_surf: V3, u,
     tri_k = jnp.clip(left - 1, 0, nt - 1)
     tri_id = lt.tri_offset[li_] + tri_k
     b1, b2 = smp.uniform_sample_triangle(u)
-    tv0 = vm.gather3(geom.v0, tri_id)
-    te1 = vm.gather3(geom.e1, tri_id)
-    te2 = vm.gather3(geom.e2, tri_id)
+    # one wide attr-row gather (v0|e1|e2|ng) instead of 9 component gathers
+    from .scene import types as _st
+    rows = _st.attr_rows(geom, tri_id)
+    tv0 = _st.attr_v3(rows, 0)
+    te1 = _st.attr_v3(rows, 3)
+    te2 = _st.attr_v3(rows, 6)
     ps = tv0 + te1 * b1 + te2 * b2
-    ns = vm.normalize(vm.cross(te1, te2))
+    ns = _st.attr_v3(rows, 9)
     to_s = ps - p_surf
     d2a = jnp.maximum(vm.length_sq(to_s), 1e-12)
     dist_a = jnp.sqrt(d2a)
@@ -519,10 +522,13 @@ def pdf_li_area(lt: LightTable, light_idx, p_surf, wi, hit_t, hit_cos):
         hit_cos * lt.total_area[jnp.maximum(light_idx, 0)], 1e-9)
 
 
-def le_emitted(lt: LightTable, geom, prim_id, wo: V3, ns: V3) -> V3:
+def le_emitted(lt: LightTable, geom, prim_id, wo: V3, ns: V3,
+               lid=None) -> V3:
     """Emitted radiance when a ray hits an emissive prim
-    (intersection.dart Le / diffuse_area_light L)."""
-    lid = geom.light_id[jnp.maximum(prim_id, 0)]
+    (intersection.dart Le / diffuse_area_light L). Pass `lid` (the
+    interaction's light_id) to skip the per-prim gather."""
+    if lid is None:
+        lid = geom.light_id[jnp.maximum(prim_id, 0)]
     emissive = (prim_id >= 0) & (lid >= 0)
     l_emit = _g3(lt.intensity, jnp.maximum(lid, 0))
     facing = vm.dot(ns, wo) > 0.0
@@ -613,11 +619,13 @@ def sample_le(lt: LightTable, geom, light_idx, light_pdf,
     tri_k = jnp.clip(left - 1, 0, nt - 1)
     tri_id = lt.tri_offset[li_] + tri_k
     b1, b2 = smp.uniform_sample_triangle(u_pos)
-    tv0 = vm.gather3(geom.v0, tri_id)
-    te1 = vm.gather3(geom.e1, tri_id)
-    te2 = vm.gather3(geom.e2, tri_id)
+    from .scene import types as _st
+    rows = _st.attr_rows(geom, tri_id)
+    tv0 = _st.attr_v3(rows, 0)
+    te1 = _st.attr_v3(rows, 3)
+    te2 = _st.attr_v3(rows, 6)
     p_area = tv0 + te1 * b1 + te2 * b2
-    n_area = vm.normalize(vm.cross(te1, te2))
+    n_area = _st.attr_v3(rows, 9)
     d_loc = smp.cosine_sample_hemisphere(u_dir)
     ta1, ta2 = vm.coordinate_system(n_area)
     d_area = vm.normalize(ta1 * d_loc.x + ta2 * d_loc.y + n_area * d_loc.z)

@@ -44,7 +44,7 @@ STACK_DEPTH = 128
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2",
-                      "wbounds", "worder", "woop"],
+                      "wbounds", "worder", "woop", "soup16"],
          meta_fields=["n_nodes", "n_clusters", "k", "n_wnodes"])
 @dataclasses.dataclass
 class PackedBVH:
@@ -74,6 +74,8 @@ class PackedBVH:
     worder: jnp.ndarray
     # (C, 3K+pad, 4) Woop unit-triangle transforms for the v7 MXU flush
     woop: jnp.ndarray = None
+    # (C*K, 16) packed finish rows [v0 e1 e2 orig_id_bits] (soup_pack16)
+    soup16: jnp.ndarray = None
     n_nodes: int = 0
     n_clusters: int = 0
     k: int = 0
@@ -111,13 +113,15 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     t0 = np.moveaxis(v0, -1, 0).copy()
     t1 = np.moveaxis(e1, -1, 0).copy()
     t2 = np.moveaxis(e2, -1, 0).copy()
+    perm_flat = tid.reshape(-1)
     packed = PackedBVH(
         bounds=bounds, meta=meta, meta2=meta2,
         tv0=t0, te1=t1, te2=t2,
         wbounds=wbounds, worder=worder,
         woop=woop_pack(t0, t1, t2),
+        soup16=soup_pack16(t0, t1, t2, perm_flat),
         n_nodes=n, n_clusters=c, k=k, n_wnodes=n_w)
-    return packed, tid.reshape(-1)
+    return packed, perm_flat
 
 
 def _kernel(bounds_ref, meta_ref,
@@ -1263,6 +1267,46 @@ def _kernel5(wb_ref, wo_ref,
                                jnp.where(sub == 1, nleaf, 0))
 
 
+
+# Per-dispatch ray cap: XLA places a pallas call's full ray-plane operands
+# and outputs in scoped VMEM alongside the VMEM-resident scene (observed
+# r4: 8 planes + 2 outs of a 262k wave = 10.5 MB -> scoped-vmem OOM at the
+# 16 MB limit once the fused wave sort let XLA chain placements). Chunking
+# the DISPATCH keeps each call's operand footprint ~2.6 MB with no kernel
+# efficiency loss: grid blocks execute sequentially on the one core either
+# way, and the scene tables stay resident across calls.
+CHUNK_SUBROWS = 512
+
+
+_PLANE_FILL = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0)  # o d tmin tmax
+
+
+def _chunked(planes, shape2, call2):
+    """Split a (rows, 128)-plane wave into CHUNK_SUBROWS dispatches via
+    lax.map — SEQUENTIAL by construction (independent chunk calls get
+    overlapped by the scheduler and their scoped-VMEM stacks SUM: 4 x 6.7M
+    = 27M > the 16M limit), and the kernel body compiles once.
+
+    call2(planes_chunk) -> (t_chunk, prim_chunk) of chunk shape."""
+    rows_total = shape2[0]
+    if rows_total <= CHUNK_SUBROWS:
+        return call2(planes)
+    pad = (-rows_total) % CHUNK_SUBROWS
+    if pad:
+        planes = [jnp.concatenate(
+            [pl, jnp.full((pad, 128), f, pl.dtype)])
+            for pl, f in zip(planes, _PLANE_FILL)]
+    n_chunks = (rows_total + pad) // CHUNK_SUBROWS
+    stacked = [pl.reshape(n_chunks, CHUNK_SUBROWS, 128) for pl in planes]
+
+    def body(chunk_planes):
+        return call2(list(chunk_planes))
+
+    t, pr = jax.lax.map(body, tuple(stacked))
+    t = t.reshape(-1, 128)[:rows_total]
+    pr = pr.reshape(-1, 128)[:rows_total]
+    return t, pr
+
 @partial(jax.jit, static_argnames=("any_hit", "block_rows", "interpret",
                                    "counters", "bf16"))
 def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
@@ -1293,21 +1337,33 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
     kern = partial(_kernel5, k=bvh.k, rows=block_rows, any_hit=any_hit,
                    n_wnodes=bvh.n_wnodes, counters=counters, bf16=bf16)
-    res = pl.pallas_call(
-        kern,
-        grid=(n_blocks,),
-        out_shape=tuple(out_shape),
-        in_specs=([full(bvh.wbounds), full(bvh.worder)]
-                  + tri_specs + [ray_spec] * 8),
-        out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                        pltpu.SMEM((LBUF5,), jnp.int32),
-                        pltpu.VMEM((8, 128), jnp.float32)],
-        interpret=interpret,
-    )(bvh.wbounds, bvh.worder, *tri_args, *planes)
-    t, prim = res[0], res[1]
+
+    def run(pls, nb, oshape, ospecs):
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            out_shape=tuple(oshape),
+            in_specs=([full(bvh.wbounds), full(bvh.worder)]
+                      + tri_specs + [ray_spec] * 8),
+            out_specs=tuple(ospecs),
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                            pltpu.SMEM((LBUF5,), jnp.int32),
+                            pltpu.VMEM((8, 128), jnp.float32)],
+            interpret=interpret,
+        )(bvh.wbounds, bvh.worder, *tri_args, *pls)
+
     if counters:
+        res = run(planes, n_blocks, out_shape, out_specs)
+        t, prim = res[0], res[1]
         return t.reshape(-1)[:r], prim.reshape(-1)[:r], res[2]
+
+    def call2(pls):
+        rows_c = pls[0].shape[0]
+        osh = [jax.ShapeDtypeStruct((rows_c, 128), jnp.float32),
+               jax.ShapeDtypeStruct((rows_c, 128), jnp.int32)]
+        return run(pls, rows_c // block_rows, osh, out_specs[:2])
+
+    t, prim = _chunked(planes, shape2, call2)
     return t.reshape(-1)[:r], prim.reshape(-1)[:r]
 
 
@@ -1577,23 +1633,28 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
     kern = partial(_kernel6, k=bvh.k, rows=block_rows, any_hit=any_hit,
                    n_wnodes=bvh.n_wnodes + 1, null_node=null_node,
                    null_cluster=null_cluster, bf16=bf16)
-    t, prim = pl.pallas_call(
-        kern,
-        grid=(n_blocks,),
-        out_shape=(jax.ShapeDtypeStruct(shape2, jnp.float32),
-                   jax.ShapeDtypeStruct(shape2, jnp.int32)),
-        in_specs=([full(wbounds), full(wo)]
-                  + [full(w) for w in w_args]
-                  + [full(a) for a in tri_args]
-                  + [ray_spec] * 8),
-        out_specs=(ray_spec, ray_spec),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH, block_rows), jnp.int32),
-                        pltpu.SMEM((block_rows,), jnp.int32),
-                        pltpu.SMEM((block_rows, LBUF6), jnp.int32),
-                        pltpu.SMEM((block_rows,), jnp.int32),
-                        pltpu.VMEM((block_rows, 8), jnp.float32)],
-        interpret=interpret,
-    )(wbounds, wo, *w_args, *tri_args, *planes)
+
+    def call2(pls):
+        rows_c = pls[0].shape[0]
+        return pl.pallas_call(
+            kern,
+            grid=(rows_c // block_rows,),
+            out_shape=(jax.ShapeDtypeStruct((rows_c, 128), jnp.float32),
+                       jax.ShapeDtypeStruct((rows_c, 128), jnp.int32)),
+            in_specs=([full(wbounds), full(wo)]
+                      + [full(w) for w in w_args]
+                      + [full(a) for a in tri_args]
+                      + [ray_spec] * 8),
+            out_specs=(ray_spec, ray_spec),
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH, block_rows), jnp.int32),
+                            pltpu.SMEM((block_rows,), jnp.int32),
+                            pltpu.SMEM((block_rows, LBUF6), jnp.int32),
+                            pltpu.SMEM((block_rows,), jnp.int32),
+                            pltpu.VMEM((block_rows, 8), jnp.float32)],
+            interpret=interpret,
+        )(wbounds, wo, *w_args, *tri_args, *pls)
+
+    t, prim = _chunked(planes, shape2, call2)
     return t.reshape(-1)[:r], prim.reshape(-1)[:r]
 
 
@@ -1854,21 +1915,38 @@ def traverse7(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
     kern = partial(_kernel7, k=bvh.k, b=b, any_hit=any_hit,
                    n_wnodes=bvh.n_wnodes, counters=counters)
-    res = pl.pallas_call(
-        kern,
-        grid=(n_blocks,),
-        out_shape=tuple(out_shape),
-        in_specs=[full(bvh.wbounds), full(bvh.worder), full(woop),
-                  rays2_spec, lane_spec, lane_spec],
-        out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                        pltpu.SMEM((LBUF7,), jnp.int32),
-                        pltpu.VMEM((8, 128), jnp.float32)],
-        interpret=interpret,
-    )(bvh.wbounds, bvh.worder, woop, rays2, tminb, tmaxb)
-    t, prim = res[0], res[1]
+    def run(r2c, tmn, tmx, nb, oshape, ospecs):
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            out_shape=tuple(oshape),
+            in_specs=[full(bvh.wbounds), full(bvh.worder), full(woop),
+                      rays2_spec, lane_spec, lane_spec],
+            out_specs=tuple(ospecs),
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                            pltpu.SMEM((LBUF7,), jnp.int32),
+                            pltpu.VMEM((8, 128), jnp.float32)],
+            interpret=interpret,
+        )(bvh.wbounds, bvh.worder, woop, r2c, tmn, tmx)
+
     if counters:
+        res = run(rays2, tminb, tmaxb, n_blocks, out_shape, out_specs)
+        t, prim = res[0], res[1]
         return t.reshape(-1)[:r], prim.reshape(-1)[:r], res[2]
+
+    # chunked dispatch (see _chunked): cap per-call VMEM-placed operands
+    nb_chunk = max(CHUNK_SUBROWS // block_rows, 1)
+    ts, ps = [], []
+    for s0 in range(0, n_blocks, nb_chunk):
+        nb = min(nb_chunk, n_blocks - s0)
+        osh = [jax.ShapeDtypeStruct((nb, 1, b), jnp.float32),
+               jax.ShapeDtypeStruct((nb, 1, b), jnp.int32)]
+        tc, pc = run(rays2[s0:s0 + nb], tminb[s0:s0 + nb],
+                     tmaxb[s0:s0 + nb], nb, osh, out_specs[:2])
+        ts.append(tc)
+        ps.append(pc)
+    t = jnp.concatenate(ts)
+    prim = jnp.concatenate(ps)
     return t.reshape(-1)[:r], prim.reshape(-1)[:r]
 
 
@@ -1928,22 +2006,48 @@ def sort_order_origin(p, dead, lo, hi):
     return jnp.argsort(key)
 
 
+def soup_pack16(tv0, te1, te2, perm):
+    """(3, C, K) soup + perm -> (C*K, 16) row table for finish_hits:
+    cols [v0.xyz e1.xyz e2.xyz orig_id_bits pad...] (host numpy).
+
+    ONE row gather replaces 9 component gathers + the perm id gather — on
+    the v5e a 262k-index gather costs ~8-16 ms regardless of row width
+    (index-bound), so per-closest-wave finish cost drops ~10x."""
+    ck = tv0.shape[1] * tv0.shape[2]
+    A = np.zeros((ck, 16), np.float32)
+    for c in range(3):
+        A[:, 0 + c] = np.asarray(tv0[c]).reshape(-1)
+        A[:, 3 + c] = np.asarray(te1[c]).reshape(-1)
+        A[:, 6 + c] = np.asarray(te2[c]).reshape(-1)
+    A[:, 9] = np.asarray(perm, np.int32).view(np.float32)
+    return A
+
+
 def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
     """Exact (t, b1, b2) + original prim ids for kernel winners.
 
     The kernel's packed fold rounds t by <=127 ulps and drops barycentrics;
     one gathered full-precision Moeller-Trumbore evaluation per ray restores
-    exact values (reference triangle.dart:44-160 semantics). Component-SoA:
-    9 lane-packed gathers + scalar-chain MT (no (R, 3) intermediates)."""
+    exact values (reference triangle.dart:44-160 semantics). The triangle
+    fetch is ONE wide row gather from the packed soup16 table (see
+    soup_pack16) transposed once to component rows."""
     oc, dc = _components(o, d)
     hit = prim_p >= 0
     pp = jnp.maximum(prim_p, 0)
-    cid = pp // bvh.k
-    j = pp % bvh.k
-    flat = cid * bvh.k + j
-    v0 = [bvh.tv0[c].reshape(-1)[flat] for c in range(3)]
-    e1 = [bvh.te1[c].reshape(-1)[flat] for c in range(3)]
-    e2 = [bvh.te2[c].reshape(-1)[flat] for c in range(3)]
+    if bvh.soup16 is not None:
+        rows = jnp.transpose(bvh.soup16[pp])        # (16, R)
+        v0 = [rows[0], rows[1], rows[2]]
+        e1 = [rows[3], rows[4], rows[5]]
+        e2 = [rows[6], rows[7], rows[8]]
+        orig = jax.lax.bitcast_convert_type(rows[9], jnp.int32)
+    else:
+        cid = pp // bvh.k
+        j = pp % bvh.k
+        flat = cid * bvh.k + j
+        v0 = [bvh.tv0[c].reshape(-1)[flat] for c in range(3)]
+        e1 = [bvh.te1[c].reshape(-1)[flat] for c in range(3)]
+        e2 = [bvh.te2[c].reshape(-1)[flat] for c in range(3)]
+        orig = perm[pp]
     px = dc[1] * e2[2] - dc[2] * e2[1]
     py = dc[2] * e2[0] - dc[0] * e2[2]
     pz = dc[0] * e2[1] - dc[1] * e2[0]
@@ -1958,7 +2062,7 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
     qz = tx * e1[1] - ty * e1[0]
     v = (dc[0] * qx + dc[1] * qy + dc[2] * qz) * inv_det
     t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-    prim = jnp.where(hit, perm[pp], -1)
+    prim = jnp.where(hit, orig, -1)
     t_out = jnp.where(hit, t, jnp.float32(jnp.inf))
     return t_out, prim, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
@@ -1967,21 +2071,55 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
 # coherent (unsorted camera) waves -> v5 wide blocks at 32 rows (6.1 vs
 # 5.5 Mrays/s at 16); sorted bounce/shadow waves -> v6 per-row wide packets
 # (best incoherent numbers: 1.75 vs v5's 1.5)
-DEFAULT_KERNEL = dict(closest_coherent=("v5", 32), closest=("v6", 8),
+# r4 re-measured (chained timing, tools/exp_wide.py): v5@32 camera probes
+# 11.9 M vs v6@8 10.2 M, but v5 in-wave trips XLA's scoped-VMEM placement
+# (19.4M > 16M once the fused sort chains VMEM buffers); v6 everywhere is
+# within ~15% of per-config optimum and compiles robustly
+DEFAULT_KERNEL = dict(closest_coherent=("v6", 8), closest=("v6", 8),
                       any=("v6", 8))
+
+
+def sort_key_i32(oc, dc, tmin, tmax, lo, hi):
+    """int32 coherence key: dead flag | direction octant | 21-bit Morton of
+    the origin quantized into the scene bounds (sort_order semantics in 25
+    bits — fits the single int32 key operand of the fused wave sort)."""
+    sc = 127.0 / jnp.maximum(hi - lo, 1e-9)
+    qs = [jnp.clip((oc[c] - lo[c]) * sc[c], 0.0, 127.0).astype(jnp.int32)
+          for c in range(3)]
+
+    def spread7(x):
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    m = (spread7(qs[0]) | (spread7(qs[1]) << 1) | (spread7(qs[2]) << 2))
+    octant = ((dc[0] < 0) * 1 + (dc[1] < 0) * 2
+              + (dc[2] < 0) * 4).astype(jnp.int32)
+    dead = (tmax < tmin).astype(jnp.int32)
+    return (dead << 24) | (octant << 21) | m
 
 
 def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                    any_hit: bool = False, sort: bool = True,
                    kernel: str | None = None, order=None,
                    interpret: bool = False):
-    """Full traversal pipeline: sort -> Pallas kernel -> unsort -> finish.
+    """Full traversal pipeline: fused sort -> Pallas kernel -> unsort ->
+    finish.
 
     Returns (t, prim, b1, b2) in the ORIGINAL ray order; prim indexes the
     original triangle soup (-1 miss). For any_hit, b1/b2 are zeros and t is
-    the (approximate) blocker distance. Pass a precomputed `order`
-    permutation to skip the in-call argsort (per-bounce sort sharing)."""
-    sorted_wave = sort or order is not None
+    the (approximate) blocker distance.
+
+    The coherence sort is ONE multi-operand lax.sort carrying the inverse
+    permutation and all 8 ray planes as payload — the r3 design (argsort +
+    8 apply-permutation gathers) spent ~10-15 ms PER GATHER on the v5e
+    (gathers are the chip's weakest op; tools/exp_permute.py: 33 ms vs
+    8.6 ms for the fused form, unsort scatters included). `order` is
+    accepted for API compat and ignored (per-bounce sort sharing is now
+    slower than just sorting: the fused sort costs less than one gather)."""
+    del order
+    sorted_wave = sort
     cfg_key = ("any" if any_hit
                else ("closest" if sorted_wave else "closest_coherent"))
     which, br = (kernel, 8) if kernel else DEFAULT_KERNEL[cfg_key]
@@ -1990,21 +2128,25 @@ def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
           "v7": traverse7}[which]
     oc, dc = _components(o, d)
     if sorted_wave:
-        if order is None:
-            order = sort_order(o, d, tmin, tmax, lo, hi)
         from ..core.math import V3
-        o_s = V3(oc[0][order], oc[1][order], oc[2][order])
-        d_s = V3(dc[0][order], dc[1][order], dc[2][order])
-        t_s, prim_s = fn(bvh, o_s, d_s, tmin[order], tmax[order],
-                         any_hit=any_hit, block_rows=br, interpret=interpret)
         n = oc[0].shape[0]
-        t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
-        prim_p = jnp.full((n,), -1, jnp.int32).at[order].set(prim_s)
+        key = sort_key_i32(oc, dc, tmin, tmax, lo, hi)
+        iota = jax.lax.iota(jnp.int32, n)
+        s = jax.lax.sort([key, iota, oc[0], oc[1], oc[2],
+                          dc[0], dc[1], dc[2], tmin, tmax], num_keys=1)
+        inv = s[1]
+        o_s = V3(s[2], s[3], s[4])
+        d_s = V3(s[5], s[6], s[7])
+        t_s, prim_s = fn(bvh, o_s, d_s, s[8], s[9],
+                         any_hit=any_hit, block_rows=br, interpret=interpret)
+        t = jnp.zeros((n,), jnp.float32).at[inv].set(t_s)
+        prim_p = jnp.full((n,), -1, jnp.int32).at[inv].set(prim_s)
     else:
         t, prim_p = fn(bvh, o, d, tmin, tmax, any_hit=any_hit, block_rows=br,
                        interpret=interpret)
     if any_hit:
+        # occlusion callers only test prim >= 0; returning the PERMUTED id
+        # (same sign) skips a 262k-index gather per shadow wave
         z = jnp.zeros_like(t)
-        return t, jnp.where(prim_p >= 0, perm[jnp.maximum(prim_p, 0)], -1), \
-            z, z
+        return t, prim_p, z, z
     return finish_hits(bvh, perm, o, d, tmin, t, prim_p)

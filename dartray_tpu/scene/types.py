@@ -24,9 +24,9 @@ from . import mesh as mesh_mod
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cl", "packed", "perm", "v0", "e1", "e2", "vn", "uv",
-                      "mat_id", "light_id", "world_bound", "alpha_tid",
-                      "alpha_tex", "motion"],
+         data_fields=["cl", "packed", "perm", "attr", "v0", "e1", "e2",
+                      "vn", "uv", "mat_id", "light_id", "world_bound",
+                      "alpha_tid", "alpha_tex", "motion"],
          meta_fields=["n_prims", "n_nodes", "has_alpha", "n_motion_bins",
                       "shutter"])
 @dataclasses.dataclass
@@ -45,6 +45,7 @@ class Geometry:
     cl: Any                  # accel.cluster.ClusterBVH (XLA traversal)
     packed: Any              # ops.traverse_pallas.PackedBVH or None
     perm: Optional[jnp.ndarray]   # (C*K,) permuted prim id -> original
+    attr: Optional[jnp.ndarray]   # (F, 48) packed attr rows (_pack_attr)
     v0: jnp.ndarray
     e1: jnp.ndarray
     e2: jnp.ndarray
@@ -165,8 +166,12 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         motion = tuple(motion)
     vn_all = np.concatenate(vns)          # (F, 3 corners, 3)
     uv_all = np.concatenate(uvs)          # (F, 3 corners, 2)
+    mat_all = np.concatenate(mids)
+    light_all = np.concatenate(lids)
     return Geometry(
         cl=cb, packed=packed, perm=perm,
+        attr=_pack_attr(v0, e1, e2, vn_all, uv_all, mat_all, light_all,
+                        alpha_tid),
         v0=_v3_of(v0), e1=_v3_of(e1), e2=_v3_of(e2),
         vn=tuple(_v3_of(vn_all[:, k]) for k in range(3)),
         uv=tuple(vm.V2(np.ascontiguousarray(uv_all[:, k, 0]),
@@ -188,6 +193,64 @@ def _v3_of(a):
     return vm.V3(np.ascontiguousarray(a[:, 0]),
                  np.ascontiguousarray(a[:, 1]),
                  np.ascontiguousarray(a[:, 2]))
+
+
+# attr-table column layout (see _pack_attr / attr_rows)
+_ATTR_W = 48
+
+
+def _pack_attr(v0, e1, e2, vn, uv, mat_id, light_id, alpha_tid):
+    """Per-face attribute rows (F, 48), host numpy: ONE wide row gather per
+    interaction instead of ~26 component gathers (a 262k-index gather costs
+    ~8-16 ms on the v5e regardless of row width — index-bound; r4 trace).
+
+    cols: 0-8 v0|e1|e2, 9-11 ng, 12-17 dpdu|dpdv (precomputed, with the
+    degenerate-uv fallback baked in), 18-26 vn corners, 27-32 uv corners,
+    33 mat_id bits, 34 light_id bits, 35 alpha_tid bits."""
+    f = v0.shape[0]
+    A = np.zeros((f, _ATTR_W), np.float32)
+    A[:, 0:3] = v0
+    A[:, 3:6] = e1
+    A[:, 6:9] = e2
+    ng = np.cross(e1, e2)
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    A[:, 9:12] = ng
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv = 1.0 / np.where(np.abs(det) < 1e-12, 1.0, det)
+    dpdu = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * inv[:, None]
+    dpdv = (e2 * duv1[:, 0:1] - e1 * duv2[:, 0:1]) * inv[:, None]
+    degen = np.abs(det) < 1e-12
+    # coordinate_system(ng) fallback (same branch-free construction)
+    x, y, z = ng[:, 0], ng[:, 1], ng[:, 2]
+    big_x = np.abs(x) > np.abs(y)
+    inv_a = 1.0 / np.sqrt(np.maximum(
+        np.where(big_x, x * x + z * z, y * y + z * z), 1e-30))
+    cu = np.where(big_x[:, None],
+                  np.stack([-z * inv_a, np.zeros_like(x), x * inv_a], -1),
+                  np.stack([np.zeros_like(x), z * inv_a, -y * inv_a], -1))
+    cv = np.cross(ng, cu)
+    dpdu = np.where(degen[:, None], cu, dpdu)
+    dpdv = np.where(degen[:, None], cv, dpdv)
+    A[:, 12:15] = dpdu
+    A[:, 15:18] = dpdv
+    A[:, 18:27] = vn.reshape(f, 9)
+    A[:, 27:33] = uv.reshape(f, 6)
+    A[:, 33] = np.asarray(mat_id, np.int32).view(np.float32)
+    A[:, 34] = np.asarray(light_id, np.int32).view(np.float32)
+    A[:, 35] = np.asarray(alpha_tid, np.int32).view(np.float32)
+    return A
+
+
+def attr_rows(geom, idx):
+    """ONE row gather of the per-face attr table -> (48, R) component rows
+    (transposed once so downstream slices are lane-packed (R,) arrays)."""
+    return jnp.transpose(geom.attr[idx])
+
+
+def attr_v3(rows, c0):
+    return vm.V3(rows[c0], rows[c0 + 1], rows[c0 + 2])
 
 
 def to_device(tree):
@@ -362,16 +425,11 @@ class SurfaceInteraction:
 
 
 def shared_order(geom: Geometry, p, dead):
-    """Per-bounce coherence permutation from hit positions, shared by the
-    bounce's shadow wave and the next extension wave (one argsort per
-    bounce instead of one per traversal). None off-TPU (XLA packet
-    traversal doesn't sort)."""
-    if not _use_pallas(geom):
-        return None
-    from ..ops import traverse_pallas as tp
-    return tp.sort_order_origin(
-        jax.lax.stop_gradient(p), dead.astype(jnp.int32),
-        geom.world_bound[0], geom.world_bound[1])
+    """OBSOLETE (round 4): the traversal's coherence sort is now ONE fused
+    multi-operand lax.sort inside intersect_rays, which costs less than a
+    single apply-permutation gather did — per-bounce order sharing no
+    longer pays. Kept returning None so existing call sites stay valid."""
+    return None
 
 
 def interaction(geom: Geometry, rays, hits, diffs=None):
@@ -385,7 +443,17 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
     differential_geometry.dart:computeDifferentials).
     """
     prim = jnp.maximum(hits.prim, 0)
-    v0, e1g, e2g = _gather_mat3(geom, prim)
+    # ONE wide row gather fetches every per-face attribute (geometry,
+    # precomputed ng/dpdu/dpdv, corner normals/uvs, ids) — a 262k-index
+    # gather is index-bound on the v5e (~10 ms) regardless of row width,
+    # so this replaces ~26 gathers at the same unit cost (r4 trace)
+    rows = attr_rows(geom, prim)
+    v0 = attr_v3(rows, 0)
+    e1g = attr_v3(rows, 3)
+    e2g = attr_v3(rows, 6)
+    ng = attr_v3(rows, 9)
+    dpdu = attr_v3(rows, 12)
+    dpdv = attr_v3(rows, 15)
     if geom.n_motion_bins:
         # moving geometry: the hit point comes from the ray (exact for the
         # returned t); uv/normals interpolate the shutter-start topology
@@ -393,34 +461,21 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
         p = rays.o + rays.d * jnp.minimum(hits.t, 1e30)
     else:
         p = v0 + e1g * hits.b1 + e2g * hits.b2
-    ng = vm.normalize(vm.cross(e1g, e2g))
     b0 = 1.0 - hits.b1 - hits.b2
-    vn0 = vm.gather3(geom.vn[0], prim)
-    vn1 = vm.gather3(geom.vn[1], prim)
-    vn2 = vm.gather3(geom.vn[2], prim)
+    vn0 = attr_v3(rows, 18)
+    vn1 = attr_v3(rows, 21)
+    vn2 = attr_v3(rows, 24)
     ns = vm.normalize(vn0 * b0 + vn1 * hits.b1 + vn2 * hits.b2)
     # shading normal must be in the same hemisphere as geometric
     # (Shape.getShadingGeometry convention)
     ns = vm.face_forward(ns, ng)
-    uv0 = vm.V2(geom.uv[0].x[prim], geom.uv[0].y[prim])
-    uv1 = vm.V2(geom.uv[1].x[prim], geom.uv[1].y[prim])
-    uv2 = vm.V2(geom.uv[2].x[prim], geom.uv[2].y[prim])
-    uv = vm.V2(uv0.x * b0 + uv1.x * hits.b1 + uv2.x * hits.b2,
-               uv0.y * b0 + uv1.y * hits.b1 + uv2.y * hits.b2)
-    # dpdu/dpdv from uv parameterization (triangle.dart partial derivatives)
-    du1 = uv1 - uv0
-    du2 = uv2 - uv0
-    det = du1.x * du2.y - du1.y * du2.x
-    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
-    dpdu = (e1g * du2.y - e2g * du1.y) * inv
-    dpdv = (e2g * du1.x - e1g * du2.x) * inv
-    degen = jnp.abs(det) < 1e-12
-    cu, cv = vm.coordinate_system(ng)
-    dpdu = vm.where3(degen, cu, dpdu)
-    dpdv = vm.where3(degen, cv, dpdv)
+    uv = vm.V2(rows[27] * b0 + rows[29] * hits.b1 + rows[31] * hits.b2,
+               rows[28] * b0 + rows[30] * hits.b1 + rows[32] * hits.b2)
+    mat_id = jax.lax.bitcast_convert_type(rows[33], jnp.int32)
+    light_id = jax.lax.bitcast_convert_type(rows[34], jnp.int32)
     out = dict(
         p=p, ng=ng, ns=ns, uv=uv, dpdu=dpdu, dpdv=dpdv,
-        wo=-rays.d, mat_id=geom.mat_id[prim], light_id=geom.light_id[prim],
+        wo=-rays.d, mat_id=mat_id, light_id=light_id,
         prim=hits.prim, t=hits.t, time=rays.time)
     if diffs is not None:
         duv = _uv_footprint(p, ng, dpdu, dpdv, diffs)
