@@ -231,7 +231,9 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
                       job.width, job.height, progress=progress,
                       filter_name=job.filter_name,
                       filter_params=job.filter_params, stats=st_,
-                      on_error="partial", log=log)
+                      on_error="partial", log=log,
+                      sampling_mode=getattr(job, "sampling_mode",
+                                            "iterative"))
     # exact issued traversal-query accounting: every intersect/intersect_p
     # call logs its wave size at TRACE time, so (one trace) x waves is exact
     # for ANY integrator. An ABSTRACT eval_shape trace (no device work, no
@@ -341,16 +343,89 @@ def render_pbrt(text_or_path: str, search_paths=None,
     return run(job, progress=progress, log=log)
 
 
-def apply_overrides(job: RenderJob, ov: dict) -> RenderJob:
+_SAMPLING_MODES = {0: "full", 1: "twopass", 2: "iterative",
+                   "full": "full", "twopass": "twopass",
+                   "iterative": "iterative"}
+
+
+def apply_overrides(job: RenderJob, ov: dict, log=print) -> RenderJob:
+    """The FULL RenderOverrides surface (core/render_overrides.dart:27-150):
+    quick_render, resolution_scale/resolution, samplingMode, and
+    name+params overrides for sampler / filter / renderer /
+    surfaceIntegrator / volumeIntegrator / accelerator, plus the JSON wire
+    format (overrides_from_json / overrides_to_json below). Camera / film /
+    pixelSampler overrides are accepted and logged: the camera is compiled
+    at parse time (re-parse with the override to change it), the film is
+    the fixed XYZW accumulator, and pixel samplers are N/A under the
+    wavefront design (samplers.py docstring)."""
     import dataclasses
-    if ov.get("quick_render"):
+    if ov.get("quick_render") or ov.get("quickRender"):
         ov = {"resolution_scale": 0.25, "spp": 1, **ov}
-    if "resolution_scale" in ov:
-        s = float(ov["resolution_scale"])
+    if "resolution_scale" in ov or "resolutionScale" in ov:
+        s = float(ov.get("resolution_scale", ov.get("resolutionScale")))
         job = dataclasses.replace(job, width=max(int(job.width * s), 1),
                                   height=max(int(job.height * s), 1))
-    if "spp" in ov:
+    if "resolution" in ov:
+        w, h = ov["resolution"]
+        job = dataclasses.replace(job, width=int(w), height=int(h))
+    if "samplingMode" in ov:
         job = dataclasses.replace(
-            job, sampler=smp_mod.make_sampler("lowdiscrepancy",
-                                              spp=int(ov["spp"])))
+            job, sampling_mode=_SAMPLING_MODES.get(ov["samplingMode"],
+                                                   "iterative"))
+
+    def name_params(key):
+        v = ov.get(key)
+        if v is None:
+            return None, None
+        if isinstance(v, str):
+            return v, ps_mod.ParamSet()
+        return v.get("name"), ps_mod.ParamSet.from_json(v.get("params"))
+
+    from ..scene import paramset as ps_mod
+    name, params = name_params("sampler")
+    if name or "spp" in ov:
+        spp = int(ov.get("spp",
+                         params.find_one_int("pixelsamples", 4)
+                         if params else 4))
+        job = dataclasses.replace(
+            job, sampler=smp_mod.make_sampler(name or "lowdiscrepancy",
+                                              spp=spp))
+    name, params = name_params("filter")
+    if name:
+        fp = {k: v[1][0] for k, v in params.items.items()} if params else {}
+        job = dataclasses.replace(job, filter_name=name,
+                                  filter_params=fp or None)
+    name, params = name_params("surfaceIntegrator")
+    if name:
+        job = dataclasses.replace(job, surf_integrator=name,
+                                  surf_params=params)
+    name, params = name_params("volumeIntegrator")
+    if name:
+        job = dataclasses.replace(job, vol_integrator=name,
+                                  vol_params=params)
+    name, params = name_params("renderer")
+    if name:
+        job = dataclasses.replace(job, renderer=name, renderer_params=params)
+    name, params = name_params("accelerator")
+    if name:
+        log(f"note: accelerator override {name!r} accepted; the cluster "
+            f"BVH serves every accelerator name (scene/api.py rationale)")
+    for key in ("camera", "film", "pixelSampler"):
+        if key in ov:
+            log(f"note: {key} override accepted but requires re-parsing "
+                f"the scene to take effect (compiled at parse time)")
     return job
+
+
+def overrides_to_json(ov: dict) -> str:
+    """Serialize an overrides dict (RenderOverrides.toJson analog)."""
+    import json
+    return json.dumps(ov, sort_keys=True)
+
+
+def overrides_from_json(text: str) -> dict:
+    """Parse the RenderOverrides JSON wire format
+    (render_overrides.dart:81-130): accepts both this module's dict form
+    and the reference's {name, params} nesting."""
+    import json
+    return json.loads(text)

@@ -68,9 +68,18 @@ def render_wave(scene, camera: cam_mod.Camera, sampler: smp_mod.Sampler,
 def render(scene, camera, sampler, li_fn, width, height,
            progress: Optional[Callable] = None, filter_name="box",
            filter_params=None, stats=None, checkpoint_path=None,
-           checkpoint_every=8, on_error: str = "raise", log=None):
+           checkpoint_every=8, on_error: str = "raise", log=None,
+           sampling_mode: str = "iterative"):
     """Full render: returns (H, W, 3) linear RGB. Pass a stats.RenderStats
     to collect per-phase timings + exact wavefront counters.
+
+    sampling_mode (core/sampler.dart:27-38 FULL/TWO_PASS/ITERATIVE): the
+    wavefront always executes 1-spp full-image sweeps, so the modes only
+    set the PREVIEW cadence via `progress` — "iterative": after every
+    wave; "twopass": after the first wave and at the end; "full": no
+    intermediate previews. Pixel values are identical across modes
+    (samples are (pixel, s_idx, dim)-keyed; the film is additive) — true
+    of the reference's modes too, which reorder the same sample set.
 
     checkpoint_path: when set, the film + next-sample counter are saved
     every `checkpoint_every` waves and a pre-existing checkpoint at that
@@ -106,7 +115,8 @@ def render(scene, camera, sampler, li_fn, width, height,
         stats.add("waves", 1)
         stats.add("rays/camera", px.shape[0])
         start = 1
-        if progress is not None:
+        if progress is not None and sampling_mode in ("iterative",
+                                                      "twopass"):
             progress(1, spp, film)
     else:
         start = resume_s
@@ -119,7 +129,10 @@ def render(scene, camera, sampler, li_fn, width, height,
             film = step(scene, camera, sampler, film=film, px=px, py=py,
                         s_idx=s_idx)
             jax.block_until_ready(film.pixels)
-            if progress is not None:
+            if progress is not None and (
+                    sampling_mode == "iterative"
+                    or (sampling_mode in ("twopass", "full")
+                        and s + 1 == spp)):
                 progress(s + 1, spp, film)
         except Exception as e:  # noqa: BLE001
             if on_error != "partial":

@@ -41,9 +41,63 @@ HALTON = 3
 BESTCANDIDATE = 4
 VECTOR = 5   # primary-sample-space vector (Metropolis chains)
 
+# --- best-candidate (Poisson-disk) image-sample tile ------------------------
+# The reference ships a ~4000-line precomputed table
+# (best_candidate_sampler.dart:31 + sample_table.dart): blue-noise sample
+# positions over a toroidal tile, repeated across the film. TPU redesign:
+# the tile is GENERATED once on host by Mitchell's best-candidate algorithm
+# (the same construction the reference's table was built with), bucketed
+# into per-pixel slots so the wavefront contract (every pixel x every
+# sample index, pure function) holds; non-image dimensions use the
+# (0,2)-sequence machinery (a strict improvement over the reference's
+# table reuse for lens/time — same spirit as its scrambled fallbacks).
+
+BC_TILE = 16          # tile spans BC_TILE x BC_TILE pixels
+BC_SMAX = 16          # samples per pixel stored in the tile
+_BC_CACHE = {}
+
+
+def _bc_tile(seed: int = 0):
+    """(T, T, SMAX, 2) toroidal best-candidate intra-pixel offsets."""
+    key = int(seed)
+    if key in _BC_CACHE:
+        return _BC_CACHE[key]
+    t = BC_TILE
+    m = t * t * BC_SMAX
+    rng = np.random.RandomState(1234 + seed)
+    pts = np.empty((m, 2), np.float32)
+    pts[0] = rng.rand(2) * t
+    n_cand = 12
+    chunk = np.empty((n_cand, 2), np.float32)
+    for i in range(1, m):
+        cand = rng.rand(n_cand, 2).astype(np.float32) * t
+        # toroidal min distance to existing points, vectorized
+        d = np.abs(cand[:, None, :] - pts[None, :i, :])
+        d = np.minimum(d, t - d)
+        dmin = (d ** 2).sum(-1).min(axis=1)
+        pts[i] = cand[int(np.argmax(dmin))]
+        chunk = cand
+    del chunk
+    # bucket into pixels; fill deficits with jittered strata
+    table = np.empty((t, t, BC_SMAX, 2), np.float32)
+    ix = np.minimum(pts[:, 0].astype(np.int64), t - 1)
+    iy = np.minimum(pts[:, 1].astype(np.int64), t - 1)
+    for y in range(t):
+        for x in range(t):
+            sel = pts[(ix == x) & (iy == y)] - (x, y)
+            sel = sel[rng.permutation(len(sel))]
+            if len(sel) >= BC_SMAX:
+                cell = sel[:BC_SMAX]
+            else:
+                pad = rng.rand(BC_SMAX - len(sel), 2).astype(np.float32)
+                cell = np.concatenate([sel, pad]) if len(sel) else pad
+            table[y, x] = cell
+    _BC_CACHE[key] = table
+    return table
+
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["seed", "u_vec"],
+         data_fields=["seed", "u_vec", "bc"],
          meta_fields=["kind", "spp", "nx", "ny", "jitter"])
 @dataclasses.dataclass
 class Sampler:
@@ -54,6 +108,7 @@ class Sampler:
     ny: int = 1
     jitter: bool = True
     u_vec: jnp.ndarray = None   # (R, D) primary samples (VECTOR kind only)
+    bc: jnp.ndarray = None      # (T, T, SMAX, 2) Poisson tile (BESTCANDIDATE)
 
 
 def vector_sampler(u_vec) -> Sampler:
@@ -81,9 +136,11 @@ def make_sampler(kind: str, spp: int = 4, seed: int = 0, jitter=True) -> Sampler
     if kind == "halton":
         return Sampler(HALTON, spp, jnp.uint32(seed))
     if kind == "bestcandidate":
-        # approximated by LD (the reference's 4000-line embedded table is a
-        # Poisson-disk lookup; (0,2) gives comparable blue-noise quality)
-        return Sampler(LOWDISCREPANCY, _round_pow2(spp), jnp.uint32(seed))
+        # real Poisson-disk tile (best_candidate_sampler.dart:31): image
+        # dims from the generated toroidal best-candidate table; other
+        # dims via the (0,2)-sequence machinery
+        return Sampler(BESTCANDIDATE, min(_round_pow2(spp), BC_SMAX),
+                       jnp.uint32(seed), bc=jnp.asarray(_bc_tile(seed)))
     raise ValueError(f"unknown sampler {kind}")
 
 
@@ -102,7 +159,13 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
         d = sampler.u_vec.shape[1]
         return V2(sampler.u_vec[:, dim % d],
                   sampler.u_vec[:, (dim + 1) % d])
-    if sampler.kind == LOWDISCREPANCY:
+    if sampler.kind == BESTCANDIDATE and dim == 0:
+        t = BC_TILE
+        cell = sampler.bc[py % t, px % t]            # (SMAX, 2) rows
+        sl = s_idx % BC_SMAX
+        return V2(cell[jnp.arange(px.shape[0]), sl, 0],
+                  cell[jnp.arange(px.shape[0]), sl, 1])
+    if sampler.kind in (LOWDISCREPANCY, BESTCANDIDATE):
         scr = (_pixel_key(sampler, px, py, dim),
                _pixel_key(sampler, px, py, dim + 1000))
         # independent draw ORDER per dimension group (see
@@ -140,7 +203,7 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
 def sample_1d(sampler: Sampler, px, py, s_idx, dim: int):
     if sampler.kind == VECTOR:
         return sampler.u_vec[:, dim % sampler.u_vec.shape[1]]
-    if sampler.kind == LOWDISCREPANCY:
+    if sampler.kind in (LOWDISCREPANCY, BESTCANDIDATE):
         scr = _pixel_key(sampler, px, py, dim)
         sp = smp.index_permute(s_idx.astype(U32), sampler.spp,
                                _pixel_key(sampler, px, py, dim + 2000))

@@ -77,6 +77,12 @@ class RenderJob:
     # adaptive sampler (minsamples, maxsamples) or None
     # (adaptive_sampler.dart:36-220)
     adaptive: tuple = None
+    # progressive delivery mode (core/sampler.dart:27-38): "full" |
+    # "twopass" | "iterative". The wavefront renderer always executes
+    # 1-spp full-image sweeps (the ITERATIVE order); the mode controls the
+    # PREVIEW cadence — the reference's modes likewise only reorder the
+    # same sample set.
+    sampling_mode: str = "iterative"
 
 
 class PbrtAPI:
@@ -866,14 +872,9 @@ class PbrtAPI:
             adaptive = (smp_p.find_one_int("minsamples", 4),
                         smp_p.find_one_int("maxsamples", 32))
             spp = adaptive[1]
-        if smp_name == "bestcandidate":
-            # best_candidate_sampler.dart:31's 4000-line precomputed
-            # Poisson-disk table is replaced by the scrambled (0,2)-sequence
-            # (comparable blue-noise quality, zero table memory)
-            self.log("warning: sampler 'bestcandidate' approximated by the "
-                     "scrambled (0,2) low-discrepancy sampler")
-        elif smp_name not in ("lowdiscrepancy", "02sequence", "stratified",
-                              "random", "halton", "adaptive"):
+        if smp_name not in ("lowdiscrepancy", "02sequence", "stratified",
+                            "random", "halton", "adaptive",
+                            "bestcandidate"):
             self.log(f"warning: unknown sampler {smp_name!r}; "
                      f"using lowdiscrepancy")
         sampler = smp_mod.make_sampler(
@@ -897,21 +898,23 @@ class PbrtAPI:
         accel_name, accel_p = self.opts["accelerator"]
         split = accel_p.find_one_string("splitmethod", "sah")
         self.builder.shutter = (shutter_open, shutter_close)
+        accel = "bvh"
         if accel_name in ("kdtree", "grid"):
-            # documented redesign decision (kdtree_accel.dart:41,
-            # grid_accel.dart:33): pointer-chasing kd-tree/DDA-grid traversal
-            # is scalar-serial and has no efficient TPU mapping; every scene
-            # runs the vectorized cluster-BVH. Surface loudly, not silently.
-            self.log(f"warning: accelerator {accel_name!r} has no TPU-native "
-                     f"implementation; using the cluster BVH "
-                     f"(splitmethod={split!r}). Intersections are exact; "
-                     f"only the build/traversal strategy differs.")
+            # the REAL reference algorithms (kdtree_accel.dart:41,
+            # grid_accel.dart:33) run as XLA wavefront walks
+            # (accel/kdtree.py, accel/grid.py) — correct everywhere,
+            # oracle-tested, but their per-lane pointer chases have no
+            # efficient TPU mapping, so the note stays loud.
+            accel = accel_name
+            self.log(f"note: accelerator {accel_name!r} selected — the "
+                     f"genuine algorithm, but far slower than the default "
+                     f"wide-BVH cluster kernel on TPU")
         elif accel_name not in ("bvh", "bruteforce"):
             self.log(f"warning: unknown accelerator {accel_name!r}; "
                      f"using the cluster BVH")
         if self.tex_ids:
             self.builder.textures = self.tex_builder.build()
-        scene = self.builder.build(split_method=split)
+        scene = self.builder.build(split_method=split, accelerator=accel)
         si_name, si_p = self.opts["surf_integrator"]
         vi_name, vi_p = self.opts["vol_integrator"]
         r_name, r_p = self.opts["renderer"]

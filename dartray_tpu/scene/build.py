@@ -41,7 +41,8 @@ class SceneBuilder:
     def add_light(self, spec: lt_mod.LightSpec):
         self.light_specs.append(spec)
 
-    def build(self, split_method="sah") -> st.CompiledScene:
+    def build(self, split_method="sah",
+              accelerator="bvh") -> st.CompiledScene:
         if not self.mat_rows:
             self.mat_rows.append(mat_mod.matte())
         # area lights: assign light ids per emissive mesh, record tri ranges
@@ -60,6 +61,7 @@ class SceneBuilder:
             face_off += m.n_faces
         geom = st.compile_geometry(self.meshes, self.mesh_mat, light_ids,
                                    split_method=split_method,
+                                   accelerator=accelerator,
                                    textures=self.textures,
                                    shutter=self.shutter)
         wb = np.asarray(geom.world_bound)

@@ -27,6 +27,36 @@ class ParamSet:
         self.items: Dict[str, tuple] = {}   # name -> (type, values)
         self.used: set = set()
 
+    def to_json(self):
+        """{name: {"type": t, "values": [...]}} (param_set.dart toJson —
+        the RenderOverrides wire format)."""
+        return {name: {"type": t, "values": list(v)}
+                for name, (t, v) in self.items.items()}
+
+    @classmethod
+    def from_json(cls, d):
+        """Inverse of to_json; also accepts the shorthand {name: value}
+        with type inferred from the python value."""
+        ps = cls()
+        for name, spec in (d or {}).items():
+            if isinstance(spec, dict) and "type" in spec:
+                ps.add(f"{spec['type']} {name}", spec.get("values", []))
+                continue
+            v = spec
+            if isinstance(v, bool):
+                ps.add(f"bool {name}", [v])
+            elif isinstance(v, int):
+                ps.add(f"integer {name}", [v])
+            elif isinstance(v, float):
+                ps.add(f"float {name}", [v])
+            elif isinstance(v, str):
+                ps.add(f"string {name}", [v])
+            elif isinstance(v, (list, tuple)) and len(v) == 3:
+                ps.add(f"rgb {name}", list(v))
+            else:
+                ps.add(f"float {name}", list(v))
+        return ps
+
     def add(self, decl: str, values):
         """decl: 'float fov' style declaration (param_set.dart parsing)."""
         parts = decl.strip().split()

@@ -26,9 +26,9 @@ from . import mesh as mesh_mod
 @partial(jax.tree_util.register_dataclass,
          data_fields=["cl", "packed", "perm", "attr", "v0", "e1", "e2",
                       "vn", "uv", "mat_id", "light_id", "world_bound",
-                      "alpha_tid", "alpha_tex", "motion"],
+                      "alpha_tid", "alpha_tex", "motion", "alt"],
          meta_fields=["n_prims", "n_nodes", "has_alpha", "n_motion_bins",
-                      "shutter"])
+                      "shutter", "alt_kind"])
 @dataclasses.dataclass
 class Geometry:
     """Triangle soup + threaded BVH + per-face attribute tables.
@@ -62,6 +62,12 @@ class Geometry:
     # rays are partitioned by time into static bins (stratified shutter),
     # exact as bins -> spp
     motion: Any = None         # tuple of per-bin Geometry, or None
+    # alternate accelerator (Accelerator "grid"/"kdtree"): the REAL
+    # reference algorithms (accel/grid.py, accel/kdtree.py) — selectable,
+    # oracle-tested, and deliberately NOT the TPU default (their per-lane
+    # pointer walks gather far below the wide-BVH cluster kernel)
+    alt: Any = None
+    alt_kind: str = ""         # "" | "grid" | "kdtree" (static)
     n_prims: int = 0
     n_nodes: int = 0
     has_alpha: bool = False    # static: gates the cutout continuation loop
@@ -86,7 +92,7 @@ MOTION_BINS = 4      # shutter strata for moving geometry
 
 def compile_geometry(meshes, mat_ids=None, light_ids=None,
                      split_method="sah", textures=None,
-                     shutter=(0.0, 1.0)) -> Geometry:
+                     shutter=(0.0, 1.0), accelerator="bvh") -> Geometry:
     """meshes: list of TriangleMesh (world space). mat_ids/light_ids:
     per-mesh ints. textures: the scene TextureData (required only when a
     mesh carries an alpha-mask texture; referenced by the geometry so the
@@ -129,6 +135,13 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     e2 = np.concatenate(e2s)
     cb = cluster_mod.build(v0, e1, e2, split_method=split_method)
     wb = np.stack([np.asarray(cb.node_lo[0]), np.asarray(cb.node_hi[0])])
+    alt = None
+    if accelerator == "grid":
+        from ..accel import grid as grid_mod
+        alt = grid_mod.build(v0, e1, e2)
+    elif accelerator == "kdtree":
+        from ..accel import kdtree as kd_mod
+        alt = kd_mod.build(v0, e1, e2)
     from ..ops import traverse_pallas as tp
     # everything stays HOST numpy: one jax.device_put of the finished scene
     # at render entry (to_device below) instead of dozens of host<->device
@@ -182,7 +195,8 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         world_bound=wb.astype(np.float32),
         alpha_tid=alpha_tid if has_alpha else None,
         alpha_tex=textures if has_alpha else None,
-        motion=motion,
+        motion=motion, alt=alt,
+        alt_kind=accelerator if alt is not None else "",
         n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes, has_alpha=has_alpha,
         n_motion_bins=n_bins, shutter=tuple(shutter))
 
@@ -280,6 +294,8 @@ def _log_query(rays):
 
 
 def _use_pallas(geom) -> bool:
+    if getattr(geom, "alt_kind", ""):
+        return False              # explicit grid/kdtree accelerator
     return geom.packed is not None and (jax.default_backend() == "tpu"
                                         or FORCE_PALLAS_INTERPRET)
 
@@ -302,6 +318,12 @@ def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
             order=order, interpret=FORCE_PALLAS_INTERPRET)
         from ..accel.traverse import Hits
         return Hits(t=t, prim=prim, b1=b1, b2=b2)
+    if geom.alt_kind == "grid":
+        from ..accel import grid as grid_mod
+        return grid_mod.intersect(geom.alt, rays)
+    if geom.alt_kind == "kdtree":
+        from ..accel import kdtree as kd_mod
+        return kd_mod.intersect(geom.alt, rays)
     return cluster_mod.intersect(geom.cl, rays)
 
 
@@ -411,6 +433,12 @@ def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
                 rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True,
                 sort=sort, order=order, interpret=FORCE_PALLAS_INTERPRET)
             return prim >= 0
+        if geom.alt_kind == "grid":
+            from ..accel import grid as grid_mod
+            return grid_mod.intersect_p(geom.alt, rays)
+        if geom.alt_kind == "kdtree":
+            from ..accel import kdtree as kd_mod
+            return kd_mod.intersect_p(geom.alt, rays)
         return cluster_mod.intersect_p(geom.cl, rays)
     # alpha scenes: occlusion needs closest-hit + cutout continuation
     # (an any-hit blocker might be a zero-alpha texel)

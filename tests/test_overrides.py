@@ -1,0 +1,77 @@
+"""RenderOverrides full surface (core/render_overrides.dart:27-150) +
+progressive sampling modes (core/sampler.dart:27-38)."""
+import numpy as np
+import pytest
+
+from dartray_tpu.renderers import manager
+from dartray_tpu.scene import parser as parser_mod
+
+SCENE = """
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "lowdiscrepancy" "integer pixelsamples" [4]
+SurfaceIntegrator "path" "integer maxdepth" [3]
+LookAt 0 1 -4  0 0.5 0  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+AttributeBegin
+  Material "matte" "color Kd" [0.6 0.6 0.6]
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+AttributeBegin
+  AreaLightSource "diffuse" "color L" [8 8 8]
+  Translate 0 3 0
+  Shape "disk" "float radius" [1]
+AttributeEnd
+WorldEnd
+"""
+
+
+def _parse():
+    return parser_mod.parse(SCENE, log=lambda *a, **k: None)
+
+
+def test_overrides_surface():
+    job = _parse()
+    ov = {
+        "resolution": (8, 8),
+        "samplingMode": 1,                       # TWO_PASS
+        "sampler": {"name": "stratified",
+                    "params": {"pixelsamples": 4}},
+        "filter": {"name": "triangle", "params": {"xwidth": 1.0}},
+        "surfaceIntegrator": {"name": "directlighting",
+                              "params": {"strategy": "one"}},
+        "renderer": {"name": "sampler", "params": {}},
+    }
+    job2 = manager.apply_overrides(job, ov, log=lambda *a, **k: None)
+    assert (job2.width, job2.height) == (8, 8)
+    assert job2.sampling_mode == "twopass"
+    assert job2.filter_name == "triangle"
+    assert job2.surf_integrator == "directlighting"
+    assert job2.surf_params.find_one_string("strategy") == "one"
+    assert job2.renderer == "sampler"
+    # original untouched (functional replace)
+    assert job.width == 16 and job.surf_integrator == "path"
+
+
+def test_overrides_json_round_trip():
+    ov = {"quick_render": True, "samplingMode": 2,
+          "sampler": {"name": "halton", "params": {"pixelsamples": 2}}}
+    txt = manager.overrides_to_json(ov)
+    ov2 = manager.overrides_from_json(txt)
+    assert ov2 == ov
+    job = manager.apply_overrides(_parse(), ov2, log=lambda *a, **k: None)
+    assert job.width == 4 and job.sampler.spp <= 2  # quick: 0.25x res, spp 1
+    assert job.sampling_mode == "iterative"
+
+
+@pytest.mark.parametrize("mode,expect", [("full", [4]),
+                                         ("twopass", [1, 4]),
+                                         ("iterative", [1, 2, 3, 4])])
+def test_sampling_mode_preview_cadence(mode, expect):
+    job = manager.apply_overrides(
+        _parse(), {"resolution": (8, 8), "samplingMode": mode},
+        log=lambda *a, **k: None)
+    seen = []
+    manager.run(job, progress=lambda s, spp, film: seen.append(s),
+                log=lambda *a, **k: None)
+    assert seen == expect, (mode, seen)

@@ -104,3 +104,36 @@ def test_radical_inverse_base3():
     v = np.asarray(smp.radical_inverse(jnp.arange(9, dtype=jnp.uint32), 3))
     expect = [0, 1 / 3, 2 / 3, 1 / 9, 4 / 9, 7 / 9, 2 / 9, 5 / 9, 8 / 9]
     np.testing.assert_allclose(v, expect, atol=1e-6)
+
+
+def test_bestcandidate_tile_blue_noise():
+    """Best-candidate sampler (best_candidate_sampler.dart:31): the
+    generated toroidal Poisson tile's min pairwise distance must be far
+    above a random set's (blue-noise property), and draws must be
+    deterministic in (pixel, s_idx)."""
+    import numpy as np
+    from dartray_tpu import samplers as sm
+    s = sm.make_sampler("bestcandidate", spp=4)
+    t = np.asarray(s.bc)                      # (T, T, SMAX, 2)
+    T = t.shape[0]
+    pts = (t + np.stack(np.meshgrid(np.arange(T), np.arange(T),
+                                    indexing="xy"), -1)[:, :, None, :]
+           ).reshape(-1, 2)
+    d = np.abs(pts[:, None] - pts[None])
+    d = np.minimum(d, T - d)
+    dist = np.sqrt((d ** 2).sum(-1))
+    np.fill_diagonal(dist, 1e9)
+    dmin = dist.min()
+    rng = np.random.RandomState(0)
+    rp = rng.rand(pts.shape[0], 2) * T
+    dr = np.abs(rp[:, None] - rp[None])
+    dr = np.minimum(dr, T - dr)
+    distr = np.sqrt((dr ** 2).sum(-1))
+    np.fill_diagonal(distr, 1e9)
+    assert dmin > 5 * distr.min(), (dmin, distr.min())
+    px = jnp.arange(32, dtype=jnp.int32)
+    py = jnp.zeros(32, jnp.int32)
+    si = jnp.zeros(32, jnp.int32)
+    a = sm.sample_2d(s, px, py, si, 0)
+    b = sm.sample_2d(s, px, py, si, 0)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
