@@ -160,6 +160,29 @@ def main():
     except Exception:
         pass
 
+    # optional TPU gradient probe (VERDICT r4 #7): differentiate a small
+    # render through the REAL Pallas path on the chip. BENCH_GRAD=WxH:SPP
+    # (e.g. 128:16) runs it and adds grad_s to the JSON.
+    grad_s = None
+    if os.environ.get("BENCH_GRAD"):
+        res_s, spp_s = os.environ["BENCH_GRAD"].split(":")
+        gw = int(res_s)
+        gspp = int(spp_s)
+        from dartray_tpu import grad as grad_mod
+        theta, inject = grad_mod.select(scene, ["materials.kd"])
+        gsmp = samplers.make_sampler("lowdiscrepancy", spp=gspp)
+        gcam = cameras.perspective(c2w, 42.0, gw, gw)
+        t0 = time.time()
+        val, grads = grad_mod.render_loss_grad(
+            scene, gcam, gsmp, li, gw, gw, theta, inject,
+            lambda im: (im ** 2).mean(), spp=gspp)
+        jax.block_until_ready(grads)
+        g_norm = float(jnp.linalg.norm(grads["materials.kd"]))
+        grad_s = round(time.time() - t0, 2)
+        print(f"[bench] grad probe {gw}x{gw} spp{gspp}: {grad_s}s "
+              f"(incl. compile), |dL/dkd| = {g_norm:.3e}",
+              file=sys.stderr, flush=True)
+
     result = {
         "metric": "rays/s/chip (path, %dx%d, depth %d)" % (width, height,
                                                            max_depth),
@@ -174,6 +197,8 @@ def main():
         "warmup_s": round(warmup_s, 2),
         "img_mean": float(img.mean()),
     }
+    if grad_s is not None:
+        result["grad_s"] = grad_s
     print(json.dumps(result))
 
 
