@@ -160,12 +160,15 @@ def main():
     except Exception:
         pass
 
-    # optional TPU gradient probe (VERDICT r4 #7): differentiate a small
-    # render through the REAL Pallas path on the chip. BENCH_GRAD=WxH:SPP
-    # (e.g. 128:16) runs it and adds grad_s to the JSON.
+    # TPU gradient probe, ON BY DEFAULT (VERDICT r5 #5): differentiate a
+    # small render through the REAL Pallas path on the chip so every bench
+    # run demonstrates the differentiable path (BASELINE.md metric #2).
+    # BENCH_GRAD=RES:SPP overrides the shape; BENCH_GRAD=0 disables.
     grad_s = None
-    if os.environ.get("BENCH_GRAD"):
-        res_s, spp_s = os.environ["BENCH_GRAD"].split(":")
+    g_norm = None
+    grad_cfg = os.environ.get("BENCH_GRAD", "96:8")
+    if grad_cfg not in ("0", "off", ""):
+        res_s, spp_s = grad_cfg.split(":")
         gw = int(res_s)
         gspp = int(spp_s)
         from dartray_tpu import grad as grad_mod
@@ -199,6 +202,7 @@ def main():
     }
     if grad_s is not None:
         result["grad_s"] = grad_s
+        result["grad_norm"] = g_norm
     print(json.dumps(result))
 
 

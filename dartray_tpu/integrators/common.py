@@ -105,23 +105,17 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
     return ld
 
 
-def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
-                  mask, flags=bx.ALL & ~bx.SPECULAR, order=None):
-    """Next-event estimation toward one uniformly chosen light — the
-    light-sampling HALF of EstimateDirect (integrator.dart:119-152). The
-    BSDF-sampling half is folded into the path-extension ray instead (the
-    wavefront restructure: one closest-hit ray serves both path extension and
-    MIS light hits, so each bounce costs 2 traversals, not 3).
-
-    The MIS weight compares the full NEE direction pdf (light pdf / nLights)
-    against the BSDF pdf, matching the weight applied to emitter hits on the
-    extension ray in integrators/path.py. `mask`: lanes that need a shadow
-    ray; dead lanes get tmax < tmin so the sorted traversal skips them."""
+def nee_prepare(scene, it, frame, params, wo, u_select, u_light, uc_light,
+                mask, flags=bx.ALL & ~bx.SPECULAR):
+    """The shade half of next-event estimation: sample one light, evaluate
+    the BSDF toward it, build the (masked) shadow ray — WITHOUT tracing it.
+    Returns (sray, usable, contrib): trace sray any-hit, then add
+    where3(usable & ~occluded, contrib). Split out so the path integrator
+    can batch the shadow ray with the next bounce's extension ray into one
+    merged traversal launch (scene/types.intersect_pair)."""
     geom = scene.geometry
     lt = scene.lights
     n_lights = lt.n
-    if n_lights == 0:
-        return vm.v3zeros(jnp.shape(it["t"]))
     light_idx = jnp.minimum((u_select * n_lights).astype(jnp.int32),
                             n_lights - 1)
     p = it["p"]
@@ -135,12 +129,33 @@ def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
     sray = shadow_ray(p, it["ng"], ns, ls.wi, ls.dist, eps,
                       time=it.get("time"))
     sray = sray._replace(tmax=jnp.where(usable, sray.tmax, -1.0))
-    occluded = st.intersect_p(geom, sray, order=order)
     pdf_nee = ls.pdf / float(n_lights)
     bsdf_pdf = bx.pdf(params, frame, wo, ls.wi, flags)
     w_l = jnp.where(ls.is_delta, 1.0,
                     smp.power_heuristic(1.0, pdf_nee, 1.0, bsdf_pdf))
     contrib = f_l * ls.li * (cos_l * w_l / jnp.maximum(pdf_nee, 1e-20))
+    return sray, usable, contrib
+
+
+def nee_one_light(scene, it, frame, params, wo, u_select, u_light, uc_light,
+                  mask, flags=bx.ALL & ~bx.SPECULAR, order=None):
+    """Next-event estimation toward one uniformly chosen light — the
+    light-sampling HALF of EstimateDirect (integrator.dart:119-152). The
+    BSDF-sampling half is folded into the path-extension ray instead (the
+    wavefront restructure: one closest-hit ray serves both path extension and
+    MIS light hits, so each bounce costs 2 traversals, not 3).
+
+    The MIS weight compares the full NEE direction pdf (light pdf / nLights)
+    against the BSDF pdf, matching the weight applied to emitter hits on the
+    extension ray in integrators/path.py. `mask`: lanes that need a shadow
+    ray; dead lanes get tmax < tmin so the sorted traversal skips them."""
+    del order
+    if scene.lights.n == 0:
+        return vm.v3zeros(jnp.shape(it["t"]))
+    sray, usable, contrib = nee_prepare(scene, it, frame, params, wo,
+                                        u_select, u_light, uc_light, mask,
+                                        flags)
+    occluded = st.intersect_p(scene.geometry, sray)
     return vm.where3(usable & ~occluded, contrib, 0.0)
 
 

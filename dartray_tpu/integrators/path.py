@@ -68,20 +68,20 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
     active = jnp.ones((r,), bool)
     specular_bounce = jnp.zeros((r,), bool)
     prev_pdf = jnp.zeros((r,), jnp.float32)
-    cur = rays
+
+    # bounce 0 extension = the camera wave (already Morton-coherent: no
+    # sort); every later bounce's extension ray is traced MERGED with the
+    # current bounce's NEE shadow ray in one 2R-lane mixed launch
+    # (st.intersect_pair) — one coherence sort + one chunked dispatch per
+    # bounce instead of two (VERDICT r5 #1a)
+    hits0 = st.intersect(geom, rays, sort=False)
 
     def bounce_body(carry, bounce):
-        L, throughput, active, specular_bounce, prev_pdf, cur, order = carry
+        L, throughput, active, specular_bounce, prev_pdf, cur, hits = carry
         dim = 5 + bounce * 10
-        # bounce 0: camera rays already Morton-coherent (no sort); later
-        # bounces reuse the order computed from the PREVIOUS hit points
-        # (the extension rays' origins) — one argsort per bounce, shared
-        # with the shadow wave below
-        hits = st.intersect(geom, cur, sort=False, order=order)
         hit = hits.hit & active
         it = st.interaction(geom, cur, hits,
                             diffs=diffs if bounce == 0 else None)
-        order = st.shared_order(geom, it["p"], ~hit)
         it["ns"] = mat_mod.bump_shading_normal(scene.materials, it["mat_id"],
                                                scene.textures, it)
         frame = bx.make_frame(it["ns"], it["dpdu"], it["ng"])
@@ -100,48 +100,61 @@ def li(ig: PathIntegrator, scene: st.CompiledScene, rays, diffs, sctx,
         params = mat_mod.eval_params(scene.materials, it["mat_id"],
                                      scene.textures, it)
         wo = it["wo"]
-        # NEE: one light, shadow ray only (MIS partner is the extension ray)
-        if lt is not None and lt.n > 0 and not (skip_direct and bounce == 0):
-            sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
-                                             sctx["py"], sctx["s_idx"], d)
-            sd2 = lambda d: smp_mod.sample_2d(sctx["sampler"], sctx["px"],
-                                              sctx["py"], sctx["s_idx"], d)
-            ld = common.nee_one_light(scene, it, frame, params, wo,
-                                      sd(dim), sd2(dim + 1), sd(dim + 3),
-                                      mask=hit, order=order)
-            L = L + vm.where3(hit, throughput * ld, 0.0)
-        if bounce == ig.max_depth:
+        sd = lambda d: smp_mod.sample_1d(sctx["sampler"], sctx["px"],
+                                         sctx["py"], sctx["s_idx"], d)
+        sd2 = lambda d: smp_mod.sample_2d(sctx["sampler"], sctx["px"],
+                                          sctx["py"], sctx["s_idx"], d)
+        # NEE shade half: one light, shadow ray built but not yet traced
+        # (MIS partner is the extension ray)
+        do_nee = (lt is not None and lt.n > 0
+                  and not (skip_direct and bounce == 0))
+        if do_nee:
+            sray, usable, contrib = common.nee_prepare(
+                scene, it, frame, params, wo, sd(dim), sd2(dim + 1),
+                sd(dim + 3), mask=hit)
+        last = bounce == ig.max_depth
+        if not last:
+            # BSDF sampling for the next ray (also the MIS light-hit sample)
+            bs = bx.sample_f(params, frame, wo, sd2(dim + 7), sd(dim + 9),
+                             flags=bx.ALL)
+            cos_s = vm.absdot(bs.wi, frame.n)
+            cont = hit & bs.valid & (bs.pdf > 0.0) & spec.any_nonzero(bs.f)
+            new_tp = throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))
+            # Russian roulette (path_integrator.dart:93-99)
+            if bounce > ig.rr_depth:
+                u_rr = sd(dim + 8)
+                cprob = jnp.minimum(0.5, spec.luminance(new_tp))
+                survive = u_rr <= cprob
+                new_tp = new_tp * (1.0 / jnp.maximum(cprob, 1e-8))
+                cont = cont & survive
+            eps = st.ray_epsilon(it["t"])
+            ng_f = vm.face_forward(it["ng"], bs.wi)
+            next_ray = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
+                               tmin=jnp.zeros((r,), jnp.float32),
+                               tmax=jnp.where(cont, jnp.inf, -1.0),
+                               time=cur.time)
+        # the merged traversal: extension closest-hit + shadow any-hit
+        if do_nee and not last:
+            hits_next, occluded = st.intersect_pair(geom, next_ray, sray)
+        elif do_nee:
+            occluded = st.intersect_p(geom, sray)
+            hits_next = hits
+        elif not last:
+            hits_next = st.intersect(geom, next_ray)
+            occluded = None
+        if do_nee:
+            # NEE contribution uses the PRE-update throughput
+            L = L + vm.where3(usable & ~occluded, throughput * contrib, 0.0)
+        if last:
             return (L, throughput, active, specular_bounce, prev_pdf, cur,
-                    order)
-        # BSDF sampling for the next ray (also the MIS light-hit sample)
-        u_b = smp_mod.sample_2d(sctx["sampler"], sctx["px"], sctx["py"],
-                                sctx["s_idx"], dim + 7)
-        uc_b = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
-                                 sctx["s_idx"], dim + 9)
-        bs = bx.sample_f(params, frame, wo, u_b, uc_b, flags=bx.ALL)
-        cos_s = vm.absdot(bs.wi, frame.n)
-        cont = hit & bs.valid & (bs.pdf > 0.0) & spec.any_nonzero(bs.f)
-        new_tp = throughput * bs.f * (cos_s / jnp.maximum(bs.pdf, 1e-20))
-        # Russian roulette (path_integrator.dart:93-99)
-        if bounce > ig.rr_depth:
-            u_rr = smp_mod.sample_1d(sctx["sampler"], sctx["px"], sctx["py"],
-                                     sctx["s_idx"], dim + 8)
-            cprob = jnp.minimum(0.5, spec.luminance(new_tp))
-            survive = u_rr <= cprob
-            new_tp = new_tp * (1.0 / jnp.maximum(cprob, 1e-8))
-            cont = cont & survive
+                    hits)
         throughput = vm.where3(cont, new_tp, throughput)
         specular_bounce = (bs.flags & bx.SPECULAR) != 0
         prev_pdf = bs.pdf
-        eps = st.ray_epsilon(it["t"])
-        ng_f = vm.face_forward(it["ng"], bs.wi)
-        cur = vm.Rays(o=it["p"] + ng_f * eps, d=bs.wi,
-                      tmin=jnp.zeros((r,), jnp.float32),
-                      tmax=jnp.where(cont, jnp.inf, -1.0),
-                      time=cur.time)
-        return L, throughput, cont, specular_bounce, prev_pdf, cur, order
+        return (L, throughput, cont, specular_bounce, prev_pdf, next_ray,
+                hits_next)
 
-    carry = (L, throughput, active, specular_bounce, prev_pdf, cur, None)
+    carry = (L, throughput, active, specular_bounce, prev_pdf, rays, hits0)
     use_remat = ig.remat if ig.remat is not None else (ig.max_depth > 3)
     for bounce in range(ig.max_depth + 1):
         body = partial(bounce_body, bounce=bounce)

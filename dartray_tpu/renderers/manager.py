@@ -408,13 +408,48 @@ def apply_overrides(job: RenderJob, ov: dict, log=print) -> RenderJob:
         job = dataclasses.replace(job, renderer=name, renderer_params=params)
     name, params = name_params("accelerator")
     if name:
-        log(f"note: accelerator override {name!r} accepted; the cluster "
-            f"BVH serves every accelerator name (scene/api.py rationale)")
+        job = _override_accelerator(job, name, log)
     for key in ("camera", "film", "pixelSampler"):
         if key in ov:
             log(f"note: {key} override accepted but requires re-parsing "
                 f"the scene to take effect (compiled at parse time)")
     return job
+
+
+def _override_accelerator(job: RenderJob, name: str, log=print) -> RenderJob:
+    """Accelerator override (render_overrides.dart:39): REBUILD the alternate
+    accelerator over the already-parsed triangle soup. "grid"/"kdtree" build
+    the real algorithms (accel/grid.py, accel/kdtree.py); any other name maps
+    to the cluster BVH (the TPU default)."""
+    import dataclasses
+    import numpy as _np
+    geom = job.scene.geometry
+    if getattr(geom, "n_motion_bins", 0):
+        log(f"note: accelerator override {name!r} ignored for moving "
+            f"geometry (per-shutter-bin BVHs only)")
+        return job
+    want = name if name in ("grid", "kdtree") else ""
+    if want == getattr(geom, "alt_kind", ""):
+        log(f"accelerator override {name!r}: already active")
+        return job
+    if want:
+        soup = lambda v: _np.stack(
+            [_np.asarray(v.x), _np.asarray(v.y), _np.asarray(v.z)], axis=-1)
+        v0s, e1s, e2s = soup(geom.v0), soup(geom.e1), soup(geom.e2)
+        if want == "grid":
+            from ..accel import grid as grid_mod
+            alt = grid_mod.build(v0s, e1s, e2s)
+        else:
+            from ..accel import kdtree as kd_mod
+            alt = kd_mod.build(v0s, e1s, e2s)
+        log(f"accelerator override: rebuilt {want!r} over the parsed "
+            f"triangle soup ({v0s.shape[0]} tris)")
+    else:
+        alt = None
+        log(f"accelerator override {name!r}: cluster BVH (TPU default)")
+    geom = dataclasses.replace(geom, alt=alt, alt_kind=want)
+    return dataclasses.replace(
+        job, scene=dataclasses.replace(job.scene, geometry=geom))
 
 
 def overrides_to_json(ov: dict) -> str:

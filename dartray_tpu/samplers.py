@@ -138,8 +138,11 @@ def make_sampler(kind: str, spp: int = 4, seed: int = 0, jitter=True) -> Sampler
     if kind == "bestcandidate":
         # real Poisson-disk tile (best_candidate_sampler.dart:31): image
         # dims from the generated toroidal best-candidate table; other
-        # dims via the (0,2)-sequence machinery
-        return Sampler(BESTCANDIDATE, min(_round_pow2(spp), BC_SMAX),
+        # dims via the (0,2)-sequence machinery. spp > BC_SMAX reuses the
+        # tile with a per-repeat Cranley-Patterson shift (sample_2d), the
+        # same table-reuse the reference applies for arbitrary spp
+        # (best_candidate_sampler.dart:39)
+        return Sampler(BESTCANDIDATE, _round_pow2(spp),
                        jnp.uint32(seed), bc=jnp.asarray(_bc_tile(seed)))
     raise ValueError(f"unknown sampler {kind}")
 
@@ -163,8 +166,19 @@ def sample_2d(sampler: Sampler, px, py, s_idx, dim: int):
         t = BC_TILE
         cell = sampler.bc[py % t, px % t]            # (SMAX, 2) rows
         sl = s_idx % BC_SMAX
-        return V2(cell[jnp.arange(px.shape[0]), sl, 0],
-                  cell[jnp.arange(px.shape[0]), sl, 1])
+        x = cell[jnp.arange(px.shape[0]), sl, 0]
+        y = cell[jnp.arange(px.shape[0]), sl, 1]
+        # spp > SMAX: repeat the tile under a per-repeat Cranley-Patterson
+        # toroidal shift (repeat 0 = the verbatim blue-noise table)
+        if sampler.spp > BC_SMAX:
+            rep = (s_idx.astype(U32) // U32(BC_SMAX))
+            kcp = sampler.seed ^ U32(0xBC5D1234)
+            ox = smp.rng_uniform(kcp, rep * U32(2))
+            oy = smp.rng_uniform(kcp, rep * U32(2) + U32(1))
+            shift = rep > U32(0)
+            x = jnp.where(shift, (x + ox) % 1.0, x)
+            y = jnp.where(shift, (y + oy) % 1.0, y)
+        return V2(x, y)
     if sampler.kind in (LOWDISCREPANCY, BESTCANDIDATE):
         scr = (_pixel_key(sampler, px, py, dim),
                _pixel_key(sampler, px, py, dim + 1000))

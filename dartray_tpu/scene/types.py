@@ -251,6 +251,10 @@ def _pack_attr(v0, e1, e2, vn, uv, mat_id, light_id, alpha_tid):
     A[:, 15:18] = dpdv
     A[:, 18:27] = vn.reshape(f, 9)
     A[:, 27:33] = uv.reshape(f, 6)
+    # columns 33-35 are int32 BIT PATTERNS (f32 denormals for small ids):
+    # NEVER apply arithmetic to them — only bit-exact data movement
+    # (device_put / gather / transpose). Regression:
+    # tests/test_bvh.py::test_attr_row_id_columns_bit_exact
     A[:, 33] = np.asarray(mat_id, np.int32).view(np.float32)
     A[:, 34] = np.asarray(light_id, np.int32).view(np.float32)
     A[:, 35] = np.asarray(alpha_tid, np.int32).view(np.float32)
@@ -407,6 +411,35 @@ def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
                  b2=jnp.where(cut, h2.b2, h.b2))
         cand = cut
     return h
+
+
+def intersect_pair(geom: "Geometry", ext_rays, shadow_rays):
+    """Closest-hit over ext_rays + any-hit over shadow_rays in ONE merged
+    traversal launch (kernel v6 mixed mode): both sets originate at the
+    same bounce hit points, so they share the coherence sort, the chunked
+    dispatch and the scene residency — halving the path integrator's
+    per-bounce launch count (VERDICT r5 #1a). Falls back to two separate
+    launches off-TPU and for alpha/motion scenes (their continuation loops
+    need the split form).
+
+    Returns (Hits for ext_rays, occluded bool for shadow_rays)."""
+    if (not _use_pallas(geom)) or geom.has_alpha or geom.n_motion_bins:
+        h = intersect(geom, ext_rays)
+        occ = intersect_p(geom, shadow_rays)
+        return h, occ
+    _log_query(ext_rays)
+    _log_query(shadow_rays)
+    geom = _detach(geom)
+    ext_rays = _detach(ext_rays)
+    shadow_rays = _detach(shadow_rays)
+    from ..ops import traverse_pallas as tp
+    from ..accel.traverse import Hits
+    t, prim, b1, b2, occ = tp.intersect_rays_pair(
+        geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
+        ext_rays.o, ext_rays.d, ext_rays.tmin, ext_rays.tmax,
+        shadow_rays.o, shadow_rays.d, shadow_rays.tmin, shadow_rays.tmax,
+        interpret=FORCE_PALLAS_INTERPRET)
+    return Hits(t=t, prim=prim, b1=b1, b2=b2), occ
 
 
 def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):

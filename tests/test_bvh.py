@@ -122,3 +122,34 @@ def test_object_motion_blur_bins():
         time=jnp.full(n, 1.0 - 1e-4))
     h2 = st.intersect(geom, rays2)
     assert (np.asarray(h2.prim) < 0).all()
+
+
+def test_attr_row_id_columns_bit_exact():
+    """mat_id/light_id/alpha_tid travel as int32 BIT PATTERNS inside the
+    f32 attr table (small ints are f32 denormals): the round trip through
+    device_put + the row gather + transpose must be bit-exact data movement
+    (ADVICE r4 #3 — any canonicalizing/denormal-flushing copy would silently
+    corrupt material/light lookups). Columns 33-35 (and soup16 col 9+) must
+    never see arithmetic."""
+    import jax
+    from dartray_tpu.scene import types as st
+
+    m = mesh_mod.sphere(radius=1.0, nu=16, nv=8)
+    n_f = m.faces.shape[0]
+    rng = np.random.default_rng(7)
+    mat = rng.integers(0, 5, n_f).astype(np.int32)       # tiny denormals
+    lid = rng.integers(-1, 3, n_f).astype(np.int32)      # incl. -1
+    geom = st.compile_geometry([m])
+    # overwrite the id columns with the random patterns (host side)
+    A = np.asarray(geom.attr).copy()
+    A[:, 33] = mat.view(np.float32)
+    A[:, 34] = lid.view(np.float32)
+    import dataclasses
+    geom = dataclasses.replace(geom, attr=A)
+    geom_d = st.to_device(geom)
+    idx = jnp.asarray(rng.integers(0, n_f, 257).astype(np.int32))
+    rows = st.attr_rows(geom_d, idx)
+    got_mat = np.asarray(jax.lax.bitcast_convert_type(rows[33], jnp.int32))
+    got_lid = np.asarray(jax.lax.bitcast_convert_type(rows[34], jnp.int32))
+    np.testing.assert_array_equal(got_mat, mat[np.asarray(idx)])
+    np.testing.assert_array_equal(got_lid, lid[np.asarray(idx)])

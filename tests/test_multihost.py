@@ -29,6 +29,9 @@ sys.path.insert(0, sys.argv[1])
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.distributed.initialize(coordinator_address=sys.argv[2],
                            num_processes=2, process_id=int(sys.argv[3]))
 assert jax.process_count() == 2, jax.process_count()

@@ -21,7 +21,7 @@ def test_igi_matches_path_mean_quick():
     W = H = 12
     c2w = tr.look_at([0, 1.5, -4.0], [0, 0.3, 0], [0, 1, 0])
     cam = cameras.perspective(c2w, 45.0, W, H)
-    smp = samplers.make_sampler("lowdiscrepancy", spp=8)
+    smp = samplers.make_sampler("lowdiscrepancy", spp=16)
 
     igp = pi.PathIntegrator(max_depth=3)
     img_path = rend.render(scene, cam, smp,
@@ -37,5 +37,6 @@ def test_igi_matches_path_mean_quick():
     mp = float(img_path.mean())
     mi = float(img_igi.mean())
     assert mp > 1e-3, mp
-    # loose MC tolerance: the two estimators agree on total energy
-    assert abs(mi - mp) / mp < 0.35, (mp, mi)
+    # tight enough that an energy-factor bug (e.g. a missing rho/pi ~ 3.1x)
+    # cannot slip through (VERDICT r4 weak #9: 35% -> 15%)
+    assert abs(mi - mp) / mp < 0.15, (mp, mi)

@@ -8,7 +8,20 @@ import jax
 import jax.numpy as jnp
 
 from dartray_tpu import textures as tx
+from dartray_tpu.core import math as vm
 from dartray_tpu.renderers import manager
+
+
+def _it(uv, p):
+    """Build the component-SoA interaction dict the texture system expects
+    (it["uv"] is vm.V2, it["p"] is vm.V3 — the round-4 wavefront layout)."""
+    return {"uv": vm.from_arr2(jnp.asarray(uv, jnp.float32)),
+            "p": vm.from_arr(jnp.asarray(p, jnp.float32))}
+
+
+def _ev(data, t, it):
+    """evaluate -> (N, 3) numpy (V3 boundary adapter for assertions)."""
+    return np.asarray(vm.to_arr(tx.evaluate(data, t, it)))
 
 
 def test_pyramid_levels_and_mean():
@@ -44,15 +57,14 @@ def test_trilinear_width_selects_levels():
     tid = b.add(tx.IMAGEMAP, value=(1, 1, 1), image=img)
     data = b.build()
     t = jnp.full((4,), tid, jnp.int32)
-    it = {"uv": jnp.asarray([[0.0, 0.06], [0.0, 0.31], [0.0, 0.56],
-                             [0.0, 0.81]]),
-          "p": jnp.zeros((4, 3))}
-    fine = tx.evaluate(data, t, it)
+    it = _it([[0.0, 0.06], [0.0, 0.31], [0.0, 0.56], [0.0, 0.81]],
+             np.zeros((4, 3)))
+    fine = _ev(data, t, it)
     it_wide = dict(it, tex_width=jnp.ones((4,)))
-    coarse = tx.evaluate(data, t, it_wide)
+    coarse = _ev(data, t, it_wide)
     # fine: stripes resolved (values near 0/1), coarse: washed to ~0.5
-    assert float(jnp.abs(coarse[:, 0] - 0.5).max()) < 0.05
-    assert float(jnp.abs(fine[:, 0] - 0.5).min()) > 0.3
+    assert float(np.abs(coarse[:, 0] - 0.5).max()) < 0.05
+    assert float(np.abs(fine[:, 0] - 0.5).min()) > 0.3
 
 
 def test_anisotropic_beats_trilinear_on_grazing_footprint():
@@ -68,16 +80,14 @@ def test_anisotropic_beats_trilinear_on_grazing_footprint():
     vs = (4 * np.arange(n) + 0.5) / 64.0      # texel-row centers
     uv = np.stack([np.full(n, 0.3), vs], -1).astype(np.float32)
     t = jnp.full((n,), tid, jnp.int32)
-    base = {"uv": jnp.asarray(uv), "p": jnp.zeros((n, 3))}
+    base = _it(uv, np.zeros((n, 3)))
     # footprint: anisotropy 4 (within the MAX_ANISO clamp): wide along u,
-    # sharp along v
+    # sharp along v. tex_duv is a 4-tuple of (R,) arrays (SoA contract).
     dudx, dvdy = 1.0 / 32.0, 1.0 / 128.0
-    duv = np.broadcast_to(
-        np.asarray([dudx, 0.0, 0.0, dvdy], np.float32), (n, 4)).copy()
-    aniso = np.asarray(tx.evaluate(
-        data, t, dict(base, tex_duv=jnp.asarray(duv))))[:, 0]
-    tri = np.asarray(tx.evaluate(
-        data, t, dict(base, tex_width=jnp.full((n,), dudx))))[:, 0]
+    duv = (jnp.full((n,), dudx), jnp.zeros((n,)),
+           jnp.zeros((n,)), jnp.full((n,), dvdy))
+    aniso = _ev(data, t, dict(base, tex_duv=duv))[:, 0]
+    tri = _ev(data, t, dict(base, tex_width=jnp.full((n,), dudx)))[:, 0]
     # supersampled ground truth over the parallelogram footprint
     gt = np.empty(n)
     ss = 256
@@ -106,17 +116,16 @@ def test_2d_texture_mappings():
     assert data.has_mapping
     # spherical: point on +z axis -> theta 0 -> u 0; equator +x -> u 0.5
     pts = np.asarray([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
-    it = {"uv": jnp.zeros((3, 2)), "p": jnp.asarray(pts)}
-    out = np.asarray(tx.evaluate(data, jnp.full((3,), t_sph, jnp.int32), it))
+    it = _it(np.zeros((3, 2)), pts)
+    out = _ev(data, jnp.full((3,), t_sph, jnp.int32), it)
     # UV texture returns (u%1, v%1, 0)
     np.testing.assert_allclose(out[0, 0], 0.0, atol=1e-5)       # pole
     np.testing.assert_allclose(out[1, 0], 0.5, atol=1e-5)       # equator
     np.testing.assert_allclose(out[2, 1], 0.25, atol=1e-5)      # phi=pi/2
     # planar: u = 2*x + 0.25, v = z
     pts2 = np.asarray([[0.1, 5.0, 0.3]], np.float32)
-    it2 = {"uv": jnp.zeros((1, 2)), "p": jnp.asarray(pts2)}
-    out2 = np.asarray(tx.evaluate(data, jnp.full((1,), t_pl, jnp.int32),
-                                  it2))
+    it2 = _it(np.zeros((1, 2)), pts2)
+    out2 = _ev(data, jnp.full((1,), t_pl, jnp.int32), it2)
     np.testing.assert_allclose(out2[0, 0], 0.45, atol=1e-5)
     np.testing.assert_allclose(out2[0, 1], 0.3, atol=1e-5)
 
@@ -128,16 +137,16 @@ def test_checker_and_fbm_deterministic():
     chk = b.add(tx.CHECKER2D, sub=(c1, c2))
     fbm_t = b.add(tx.FBM, value=(1, 1, 1))
     data = b.build()
-    it = {"uv": jnp.asarray([[0.25, 0.25], [1.25, 0.25], [1.25, 1.25]]),
-          "p": jnp.asarray([[0.1, 0.2, 0.3]] * 3)}
+    it = _it([[0.25, 0.25], [1.25, 0.25], [1.25, 1.25]],
+             [[0.1, 0.2, 0.3]] * 3)
     t = jnp.full((3,), chk, jnp.int32)
-    v = np.asarray(tx.evaluate(data, t, it))
+    v = _ev(data, t, it)
     # unit checker cells: parity of floor(u)+floor(v) (checkerboard.dart)
     assert np.allclose(v[0], 1.0) and np.allclose(v[1], 0.0) \
         and np.allclose(v[2], 1.0)
     tf = jnp.full((3,), fbm_t, jnp.int32)
-    f1 = np.asarray(tx.evaluate(data, tf, it))
-    f2 = np.asarray(tx.evaluate(data, tf, it))
+    f1 = _ev(data, tf, it)
+    f2 = _ev(data, tf, it)
     assert np.array_equal(f1, f2)
     assert np.isfinite(f1).all()
 

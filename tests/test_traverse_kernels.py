@@ -40,6 +40,8 @@ def test_kernel_matches_bruteforce(which):
     rays = _rays()
     lo = jnp.asarray(v0.min(0) - 1.0)
     hi = jnp.asarray(v0.max(0) + 1.0)
+    if which == "v7":
+        packed = tp.with_woop(packed)   # v7 operand is opt-in (attic)
     t, prim, b1, b2 = tp.intersect_rays(
         packed, jnp.asarray(perm), lo, hi,
         rays.o, rays.d, rays.tmin, rays.tmax,
@@ -65,6 +67,8 @@ def test_kernel_anyhit_matches(which):
     rays = _rays(seed=4)
     lo = jnp.asarray(v0.min(0) - 1.0)
     hi = jnp.asarray(v0.max(0) + 1.0)
+    if which == "v7":
+        packed = tp.with_woop(packed)   # v7 operand is opt-in (attic)
     t, prim, _, _ = tp.intersect_rays(
         packed, jnp.asarray(perm), lo, hi,
         rays.o, rays.d, rays.tmin, rays.tmax,
@@ -72,3 +76,46 @@ def test_kernel_anyhit_matches(which):
     ref = tv.brute_force_intersect(jnp.asarray(v0), jnp.asarray(e1),
                                    jnp.asarray(e2), rays)
     assert ((np.asarray(prim) >= 0) == np.asarray(ref.hit)).all()
+
+
+def test_mixed_pair_matches_bruteforce(monkeypatch):
+    """intersect_rays_pair (merged extension+shadow launch, kernel v6 mixed
+    mode): the closest-hit half must match the full intersect_rays result
+    and the any-hit half must match brute-force occlusion — with a small
+    CHUNK_SUBROWS so the dead-chunk-skipping fori path runs and skipped
+    (all-dead) chunks produce exact miss outputs."""
+    v0, e1, e2 = _soup(seed=5)
+    cb = cluster.build(v0, e1, e2, k=32)
+    packed, perm = tp.pack(cb.node_lo, cb.node_hi, cb.node_child,
+                           cb.node_axis, cb.tri_v0, cb.tri_e1, cb.tri_e2,
+                           cb.tri_id)
+    lo = jnp.asarray(v0.min(0) - 1.0)
+    hi = jnp.asarray(v0.max(0) + 1.0)
+    n = 2048
+    ext = _rays(n=n, seed=6)
+    sh = _rays(n=n, seed=7)
+    rng = np.random.RandomState(8)
+    dead_e = jnp.asarray(rng.rand(n) < 0.5)
+    dead_s = jnp.asarray(rng.rand(n) < 0.7)
+    ext = ext._replace(tmax=jnp.where(dead_e, -1.0, ext.tmax))
+    sh = sh._replace(tmax=jnp.where(dead_s, -1.0, sh.tmax))
+    monkeypatch.setattr(tp, "CHUNK_SUBROWS", 8)
+    t, prim, b1, b2, occ = tp.intersect_rays_pair(
+        packed, jnp.asarray(perm), lo, hi,
+        ext.o, ext.d, ext.tmin, ext.tmax,
+        sh.o, sh.d, sh.tmin, sh.tmax, interpret=True)
+    ref_e = tv.brute_force_intersect(jnp.asarray(v0), jnp.asarray(e1),
+                                     jnp.asarray(e2), ext)
+    ref_s = tv.brute_force_intersect(jnp.asarray(v0), jnp.asarray(e1),
+                                     jnp.asarray(e2), sh)
+    hit_k = np.asarray(prim) >= 0
+    hit_r = np.asarray(ref_e.hit)
+    assert (hit_k == hit_r).mean() > 0.999, (hit_k != hit_r).sum()
+    assert not hit_k[np.asarray(dead_e)].any()
+    both = hit_k & hit_r
+    rel = (np.abs(np.asarray(t)[both] - np.asarray(ref_e.t)[both])
+           / np.maximum(np.abs(np.asarray(ref_e.t)[both]), 1e-3))
+    assert np.quantile(rel, 0.999) < 1e-3, rel.max()
+    occ_np = np.asarray(occ)
+    assert (occ_np == np.asarray(ref_s.hit)).all()
+    assert not occ_np[np.asarray(dead_s)].any()
