@@ -41,7 +41,8 @@ N_BUCKETS = 12
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["node_lo", "node_hi", "node_child", "node_axis",
-                      "tri_v0", "tri_e1", "tri_e2", "tri_id"],
+                      "tri_v0", "tri_e1", "tri_e2", "tri_id",
+                      "tri_dv0", "tri_de1", "tri_de2"],
          meta_fields=["n_nodes", "n_clusters", "k", "max_depth"])
 @dataclasses.dataclass
 class ClusterBVH:
@@ -49,14 +50,20 @@ class ClusterBVH:
     node_hi: jnp.ndarray     # (N, 3)
     node_child: jnp.ndarray  # (N, 2) int32; leaf: child[0] = -(cluster+1)
     node_axis: jnp.ndarray   # (N,) int32
-    tri_v0: jnp.ndarray      # (C, K, 3)
+    tri_v0: jnp.ndarray      # (C, K, 3)  (shutter-open for moving scenes)
     tri_e1: jnp.ndarray      # (C, K, 3)
     tri_e2: jnp.ndarray      # (C, K, 3)
     tri_id: jnp.ndarray      # (C, K) int32 original prim ids (-1 pad)
-    n_nodes: int
-    n_clusters: int
-    k: int
-    max_depth: int
+    # continuous object motion blur: shutter-close MINUS shutter-open deltas
+    # (v(t) = v0 + t * dv, one FMA per component in the leaf test); node
+    # bounds are the union over the shutter interval. None = static scene.
+    tri_dv0: jnp.ndarray = None
+    tri_de1: jnp.ndarray = None
+    tri_de2: jnp.ndarray = None
+    n_nodes: int = 0
+    n_clusters: int = 0
+    k: int = 0
+    max_depth: int = 0
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
@@ -170,6 +177,47 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         n_nodes=n_nodes, n_clusters=c_n, k=k, max_depth=max_depth)
 
 
+def build_motion(v0a, e1a, e2a, v0b, e1b, e2b, k: int = DEFAULT_K,
+                 split_method: str = "sah") -> ClusterBVH:
+    """Continuous-motion build (animated_transform.dart:107-178 redesign):
+    ONE tree whose per-triangle bounds are the UNION of the shutter-open
+    and shutter-close AABBs (exact for linear vertex motion), with the
+    start soup + (close - open) deltas packed in cluster order so leaf
+    tests can lerp by ray time.
+
+    Implementation trick: the SAH builders only consume per-triangle
+    lo/hi/centroid, so we feed them a degenerate PROXY triangle per prim
+    (v0 = union-lo, e1 = union-extent, e2 = 0 -> its AABB IS the union
+    box), then re-gather the true start/delta soups via the returned
+    cluster permutation. Zero changes to either builder."""
+    def aabb(v0, e1, e2):
+        v0d = v0.astype(np.float64)
+        lo = np.minimum(np.minimum(v0d, v0d + e1), v0d + e2)
+        hi = np.maximum(np.maximum(v0d, v0d + e1), v0d + e2)
+        return lo, hi
+
+    lo_a, hi_a = aabb(v0a, e1a, e2a)
+    lo_b, hi_b = aabb(v0b, e1b, e2b)
+    lo_u = np.minimum(lo_a, lo_b).astype(np.float32)
+    hi_u = np.maximum(hi_a, hi_b).astype(np.float32)
+    cb = build(lo_u, hi_u - lo_u, np.zeros_like(lo_u), k=k,
+               split_method=split_method)
+    tid = np.asarray(cb.tri_id)
+    valid = tid >= 0
+    ids = np.maximum(tid, 0)
+
+    def gk(a):
+        out = np.zeros(tid.shape + (3,), np.float32)
+        out[valid] = np.asarray(a, np.float32)[ids[valid]]
+        return out
+
+    return dataclasses.replace(
+        cb,
+        tri_v0=gk(v0a), tri_e1=gk(e1a), tri_e2=gk(e2a),
+        tri_dv0=gk(v0b) - gk(v0a), tri_de1=gk(e1b) - gk(e1a),
+        tri_de2=gk(e2b) - gk(e2a))
+
+
 def _native_build(v0, e1, e2, k):
     from . import native
     res = native.cluster_bvh_build(np.asarray(v0, np.float32),
@@ -234,6 +282,9 @@ def _traverse(bvh: ClusterBVH, rays: vm.Rays, any_hit: bool,
     d = d.reshape(np_, PACKET, 3)
     tmin = tmin.reshape(np_, PACKET)
     tmax = tmax.reshape(np_, PACKET)
+    has_motion = bvh.tri_dv0 is not None
+    if has_motion:
+        time = _pad_packets(rays.time, n_pad, 0.0).reshape(np_, PACKET)
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
                             jnp.where(d < 0, -1e-30, 1e-30), d)
     # packet majority direction sign per axis (dirIsNeg analog)
@@ -295,20 +346,29 @@ def _traverse(bvh: ClusterBVH, rays: vm.Rays, any_hit: bool,
 
     # ---- flush: dense MT over buffered clusters --------------------------
     def flush(nbuf, buf, t_best, prim, b1, b2, done):
-        cv0 = bvh.tri_v0[buf].reshape(np_, LEAF_BUF * k, 3)
-        ce1 = bvh.tri_e1[buf].reshape(np_, LEAF_BUF * k, 3)
-        ce2 = bvh.tri_e2[buf].reshape(np_, LEAF_BUF * k, 3)
+        cv0 = bvh.tri_v0[buf].reshape(np_, LEAF_BUF * k, 3)[:, None]
+        ce1 = bvh.tri_e1[buf].reshape(np_, LEAF_BUF * k, 3)[:, None]
+        ce2 = bvh.tri_e2[buf].reshape(np_, LEAF_BUF * k, 3)[:, None]
+        if has_motion:
+            # continuous motion: lerp vertices to each ray's shutter time
+            tt = time[:, :, None, None]
+            cv0 = cv0 + tt * bvh.tri_dv0[buf].reshape(
+                np_, LEAF_BUF * k, 3)[:, None]
+            ce1 = ce1 + tt * bvh.tri_de1[buf].reshape(
+                np_, LEAF_BUF * k, 3)[:, None]
+            ce2 = ce2 + tt * bvh.tri_de2[buf].reshape(
+                np_, LEAF_BUF * k, 3)[:, None]
         ctid = bvh.tri_id[buf].reshape(np_, LEAF_BUF * k)
         slot_ok = (jnp.arange(LEAF_BUF)[None, :] < nbuf[:, None])
         slot_ok = jnp.repeat(slot_ok, k, axis=1)
-        pvec = jnp.cross(d[:, :, None, :], ce2[:, None, :, :])
-        det = jnp.sum(ce1[:, None, :, :] * pvec, axis=-1)
+        pvec = jnp.cross(d[:, :, None, :], ce2)
+        det = jnp.sum(ce1 * pvec, axis=-1)
         inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
-        tvec = o[:, :, None, :] - cv0[:, None, :, :]
+        tvec = o[:, :, None, :] - cv0
         u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, ce1[:, None, :, :])
+        qvec = jnp.cross(tvec, ce1)
         v = jnp.sum(d[:, :, None, :] * qvec, axis=-1) * inv_det
-        t = jnp.sum(ce2[:, None, :, :] * qvec, axis=-1) * inv_det
+        t = jnp.sum(ce2 * qvec, axis=-1) * inv_det
         tri_ok = ((jnp.abs(det) >= TRI_EPS)
                   & (u >= -BARY_EPS) & (v >= -BARY_EPS)
                   & (u + v <= 1.0 + BARY_EPS)

@@ -221,7 +221,12 @@ def _traverse(kd: KdTree, rays: vm.Rays, any_hit: bool) -> Hits:
     def cond(st):
         (node, t0, t1, sp, sn, st0, st1, t_best, prim, b1, b2, done,
          steps) = st
-        return jnp.any(~done & alive0) & (steps < 4 * STACK * 8)
+        # provably-sufficient safety bound (ADVICE r4 #4): the t0/t1-stack
+        # walk enters each node at most once per ray, and lanes advance in
+        # lock-step, so max-over-lanes steps <= n_nodes + 1 — the loop can
+        # never exit on the cap with lanes mid-walk (the grid's MAX_STEPS
+        # argument). The `done` test remains the normal exit.
+        return jnp.any(~done & alive0) & (steps < kd.n_nodes + 1)
 
     def body(st):
         (node, t0, t1, sp, sn, st0, st1, t_best, prim, b1, b2, done,

@@ -44,7 +44,8 @@ STACK_DEPTH = 128
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["bounds", "meta", "meta2", "tv0", "te1", "te2",
-                      "wbounds", "worder", "woop", "soup16"],
+                      "wbounds", "worder", "woop", "soup16",
+                      "tdv0", "tde1", "tde2", "soup16d"],
          meta_fields=["n_nodes", "n_clusters", "k", "n_wnodes"])
 @dataclasses.dataclass
 class PackedBVH:
@@ -76,18 +77,30 @@ class PackedBVH:
     woop: jnp.ndarray = None
     # (C*K, 16) packed finish rows [v0 e1 e2 orig_id_bits] (soup_pack16)
     soup16: jnp.ndarray = None
+    # continuous object motion blur (animated_transform.dart:107-178
+    # redesign): shutter-close MINUS shutter-open soup deltas in the same
+    # (3, C, K) layout — leaf tests lerp v(t) = v + t*dv per ray time —
+    # plus the matching (C*K, 16) finish-row deltas. None = static scene.
+    tdv0: jnp.ndarray = None
+    tde1: jnp.ndarray = None
+    tde2: jnp.ndarray = None
+    soup16d: jnp.ndarray = None
     n_nodes: int = 0
     n_clusters: int = 0
     k: int = 0
     n_wnodes: int = 0
 
 
-def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
+def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid,
+         deltas=None):
     """Build PackedBVH from ClusterBVH-style arrays ((C,K,3) tris, (C,K) ids).
 
     Returns (packed, perm) where perm (C*K,) maps permuted prim id -> original
     triangle id (-1 for pad slots). Padded slots get zeroed edges.
-    """
+
+    deltas: optional (dv0, de1, de2) (C,K,3) shutter-close-minus-open soups
+    (continuous motion blur; node bounds must already be the union tree —
+    accel/cluster.build_motion)."""
     n = node_lo.shape[0]
     lo = np.asarray(node_lo, np.float32)
     hi = np.asarray(node_hi, np.float32)
@@ -114,6 +127,14 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
     t1 = np.moveaxis(e1, -1, 0).copy()
     t2 = np.moveaxis(e2, -1, 0).copy()
     perm_flat = tid.reshape(-1)
+    d0 = d1 = d2 = s16d = None
+    if deltas is not None:
+        dv0, de1, de2 = (np.where(pad[..., None], 0.0,
+                                  np.asarray(a, np.float32)) for a in deltas)
+        d0 = np.moveaxis(dv0, -1, 0).copy()
+        d1 = np.moveaxis(de1, -1, 0).copy()
+        d2 = np.moveaxis(de2, -1, 0).copy()
+        s16d = soup_pack16(d0, d1, d2, np.zeros_like(perm_flat))
     packed = PackedBVH(
         bounds=bounds, meta=meta, meta2=meta2,
         tv0=t0, te1=t1, te2=t2,
@@ -122,6 +143,7 @@ def pack(node_lo, node_hi, node_child, node_axis, tv0, te1, te2, tid):
         # per scene for an opt-in kernel) — kernels_attic.with_woop adds it
         woop=None,
         soup16=soup_pack16(t0, t1, t2, perm_flat),
+        tdv0=d0, tde1=d1, tde2=d2, soup16d=s16d,
         n_nodes=n, n_clusters=c, k=k, n_wnodes=n_w)
     return packed, perm_flat
 
@@ -400,7 +422,10 @@ def _kernel5(wb_ref, wo_ref,
 # the DISPATCH keeps each call's operand footprint ~2.6 MB with no kernel
 # efficiency loss: grid blocks execute sequentially on the one core either
 # way, and the scene tables stay resident across calls.
-CHUNK_SUBROWS = 512
+# sublane rows per sequential traversal dispatch (see _chunked). 512 rows =
+# 64k lanes ≈ 2.6 MB of plane operands + outs in scoped VMEM next to the
+# VMEM-resident scene. Env-tunable for on-chip A/B (DR_CHUNK_ROWS).
+CHUNK_SUBROWS = int(__import__("os").environ.get("DR_CHUNK_ROWS", "512"))
 
 
 _PLANE_FILL = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0)  # o d tmin tmax
@@ -537,28 +562,43 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
              v0x_ref, v0y_ref, v0z_ref,
              e1x_ref, e1y_ref, e1z_ref,
              e2x_ref, e2y_ref, e2z_ref,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-             tmin_ref, tmax_ref,
              *rest,
              k: int, rows: int, any_hit: bool, n_wnodes: int,
              null_node: int, null_cluster: int, bf16: bool = False,
-             mixed: bool = False):
+             mixed: bool = False, motion: bool = False):
     # mixed: per-LANE any-hit flag plane (merged extension+shadow waves,
     # VERDICT r5 #1a): af > 0 lanes early-out on first hit like any_hit,
     # af == 0 lanes run the full closest-hit walk. The two semantics share
     # one launch (and one coherence sort / chunk schedule).
+    # motion: continuous object motion blur — 9 extra soup-delta refs and a
+    # per-lane shutter-time plane; leaf tests lerp v(t) = v + t*dv (one FMA
+    # per component; node bounds are the shutter-union tree).
+    pos = 0
+    if motion:
+        (dv0x_ref, dv0y_ref, dv0z_ref,
+         de1x_ref, de1y_ref, de1z_ref,
+         de2x_ref, de2y_ref, de2z_ref) = rest[0:9]
+        pos = 9
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     tmin_ref, tmax_ref) = rest[pos:pos + 8]
+    pos += 8
+    af_ref = None
     if mixed:
-        (af_ref, t_out, prim_out,
-         stack_ref, sp_ref, lbuf_ref, lcnt_ref, spill_ref) = rest
-    else:
-        (t_out, prim_out,
-         stack_ref, sp_ref, lbuf_ref, lcnt_ref, spill_ref) = rest
+        af_ref = rest[pos]
+        pos += 1
+    time_ref = None
+    if motion:
+        time_ref = rest[pos]
+        pos += 1
+    (t_out, prim_out,
+     stack_ref, sp_ref, lbuf_ref, lcnt_ref, spill_ref) = rest[pos:]
     P = rows
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmin = tmin_ref[:]
     tmax = tmax_ref[:]
     anyf = (af_ref[:] > 0.0) if mixed else None
+    time3 = time_ref[:].reshape(1, P, 128) if motion else None
 
     def safe_inv(d):
         tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
@@ -721,6 +761,14 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
             v0 = (cols(v0x_ref), cols(v0y_ref), cols(v0z_ref))
             e1 = (cols(e1x_ref), cols(e1y_ref), cols(e1z_ref))
             e2 = (cols(e2x_ref), cols(e2y_ref), cols(e2z_ref))
+            if motion:
+                # lerp the cluster's triangles to each lane's shutter time
+                dv0 = (cols(dv0x_ref), cols(dv0y_ref), cols(dv0z_ref))
+                de1 = (cols(de1x_ref), cols(de1y_ref), cols(de1z_ref))
+                de2 = (cols(de2x_ref), cols(de2y_ref), cols(de2z_ref))
+                v0 = tuple(a + time3 * dd for a, dd in zip(v0, dv0))
+                e1 = tuple(a + time3 * dd for a, dd in zip(e1, de1))
+                e2 = tuple(a + time3 * dd for a, dd in zip(e2, de2))
             tm = _mt_dense(o3, d3, tmin3, v0, e1, e2, k, bf16=bf16)
             if any_hit:
                 live = alive & (prim < 0)
@@ -766,21 +814,28 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                                    "bf16"))
 def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
               block_rows: int = 8, interpret: bool = False,
-              bf16: bool = False, anyf=None, live_rows=None):
+              bf16: bool = False, anyf=None, live_rows=None, time=None):
     """v6: per-row packets over the wide BVH (block_rows must be 8 — the
     hit-bit packing groups cover exactly 8 rows).
 
     anyf: optional (R,) f32 per-lane any-hit flags (mixed waves — merged
     extension+shadow launches). live_rows: optional traced live sublane-row
-    count enabling dead-chunk skipping (see _chunked)."""
+    count enabling dead-chunk skipping (see _chunked). time: (R,) shutter
+    times for continuous-motion scenes (requires bvh.tdv0)."""
     assert block_rows == 8, "v6 supports block_rows=8 only"
     planes, shape2, n_blocks, r = _plane_blocks(o, d, tmin, tmax, block_rows)
     mixed = anyf is not None
-    fills = _PLANE_FILL
+    motion = time is not None and bvh.tdv0 is not None
+    fills = list(_PLANE_FILL)
     if mixed:
         planes = planes + [_pad_to(anyf, shape2[0] * 128,
                                    0.0).reshape(shape2)]
-        fills = _PLANE_FILL + (0.0,)
+        fills.append(0.0)
+    if motion:
+        planes = planes + [_pad_to(time, shape2[0] * 128,
+                                   0.0).reshape(shape2)]
+        fills.append(0.0)
+    fills = tuple(fills)
     # sentinel rows: null wide node (NaN boxes, pad order entries)
     null_node = bvh.n_wnodes
     null_cluster = bvh.n_clusters
@@ -801,6 +856,9 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
     # bf16 mode keeps f32 refs; _mt_dense casts after the (1,K) transpose
     tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
                 + with_null(bvh.te2))
+    if motion:
+        tri_args = tri_args + (with_null(bvh.tdv0) + with_null(bvh.tde1)
+                               + with_null(bvh.tde2))
     # exact bit-pack weight constants (see _kernel6)
     w_args = []
     for g in ((0, 1, 2), (3, 4, 5), (6, 7)):
@@ -816,8 +874,9 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 
     kern = partial(_kernel6, k=bvh.k, rows=block_rows, any_hit=any_hit,
                    n_wnodes=bvh.n_wnodes + 1, null_node=null_node,
-                   null_cluster=null_cluster, bf16=bf16, mixed=mixed)
-    n_planes = 9 if mixed else 8
+                   null_cluster=null_cluster, bf16=bf16, mixed=mixed,
+                   motion=motion)
+    n_planes = 8 + (1 if mixed else 0) + (1 if motion else 0)
 
     def call2(pls):
         rows_c = pls[0].shape[0]
@@ -865,14 +924,17 @@ def soup_pack16(tv0, te1, te2, perm):
     return A
 
 
-def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
+def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p,
+                time=None):
     """Exact (t, b1, b2) + original prim ids for kernel winners.
 
     The kernel's packed fold rounds t by <=127 ulps and drops barycentrics;
     one gathered full-precision Moeller-Trumbore evaluation per ray restores
     exact values (reference triangle.dart:44-160 semantics). The triangle
     fetch is ONE wide row gather from the packed soup16 table (see
-    soup_pack16) transposed once to component rows."""
+    soup_pack16) transposed once to component rows. For continuous-motion
+    scenes (`time` + bvh.soup16d) the vertices are lerped to the ray's
+    shutter time before the exact evaluation."""
     oc, dc = _components(o, d)
     hit = prim_p >= 0
     pp = jnp.maximum(prim_p, 0)
@@ -882,6 +944,11 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p):
         e1 = [rows[3], rows[4], rows[5]]
         e2 = [rows[6], rows[7], rows[8]]
         orig = jax.lax.bitcast_convert_type(rows[9], jnp.int32)
+        if time is not None and bvh.soup16d is not None:
+            rd = jnp.transpose(bvh.soup16d[pp])
+            v0 = [a + time * rd[c] for c, a in enumerate(v0)]
+            e1 = [a + time * rd[3 + c] for c, a in enumerate(e1)]
+            e2 = [a + time * rd[6 + c] for c, a in enumerate(e2)]
     else:
         cid = pp // bvh.k
         j = pp % bvh.k
@@ -950,7 +1017,7 @@ def sort_key_i32(oc, dc, tmin, tmax, lo, hi, anyflag=None):
 def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                    any_hit: bool = False, sort: bool = True,
                    kernel: str | None = None, order=None,
-                   interpret: bool = False):
+                   interpret: bool = False, time=None):
     """Full traversal pipeline: fused sort -> Pallas kernel -> unsort ->
     finish.
 
@@ -979,13 +1046,19 @@ def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                           "v3": "traverse3", "v4": "traverse4",
                           "v7": "traverse7"}[which])
     oc, dc = _components(o, d)
+    motion = time is not None and bvh.tdv0 is not None
+    if motion:
+        assert which == "v6", "continuous motion requires the v6 kernel"
     if sorted_wave:
         from ..core.math import V3
         n = oc[0].shape[0]
         key = sort_key_i32(oc, dc, tmin, tmax, lo, hi)
         iota = jax.lax.iota(jnp.int32, n)
-        s = jax.lax.sort([key, iota, oc[0], oc[1], oc[2],
-                          dc[0], dc[1], dc[2], tmin, tmax], num_keys=1)
+        ops = [key, iota, oc[0], oc[1], oc[2],
+               dc[0], dc[1], dc[2], tmin, tmax]
+        if motion:
+            ops.append(time)
+        s = jax.lax.sort(ops, num_keys=1)
         inv = s[1]
         o_s = V3(s[2], s[3], s[4])
         d_s = V3(s[5], s[6], s[7])
@@ -995,26 +1068,30 @@ def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
             # live prefix so all-dead chunks are never dispatched
             live = jnp.sum((tmax >= tmin).astype(jnp.int32))
             kw["live_rows"] = (live + 127) // 128
+            if motion:
+                kw["time"] = s[10]
         t_s, prim_s = fn(bvh, o_s, d_s, s[8], s[9],
                          any_hit=any_hit, block_rows=br, interpret=interpret,
                          **kw)
         t = jnp.zeros((n,), jnp.float32).at[inv].set(t_s)
         prim_p = jnp.full((n,), -1, jnp.int32).at[inv].set(prim_s)
     else:
+        kw = {"time": time} if motion else {}
         t, prim_p = fn(bvh, o, d, tmin, tmax, any_hit=any_hit, block_rows=br,
-                       interpret=interpret)
+                       interpret=interpret, **kw)
     if any_hit:
         # occlusion callers only test prim >= 0; returning the PERMUTED id
         # (same sign) skips a 262k-index gather per shadow wave
         z = jnp.zeros_like(t)
         return t, prim_p, z, z
-    return finish_hits(bvh, perm, o, d, tmin, t, prim_p)
+    return finish_hits(bvh, perm, o, d, tmin, t, prim_p, time=time)
 
 
 def intersect_rays_pair(bvh: PackedBVH, perm, lo, hi,
                         o_e, d_e, tmin_e, tmax_e,
                         o_s, d_s, tmin_s, tmax_s, *,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        time_e=None, time_s=None):
     """ONE traversal launch over 2R lanes: closest-hit extension rays +
     any-hit shadow rays, distinguished by a per-lane flag (kernel v6 mixed
     mode). Merging halves the per-bounce launch count (and coherence
@@ -1034,20 +1111,26 @@ def intersect_rays_pair(bvh: PackedBVH, perm, lo, hi,
     tmax = jnp.concatenate([tmax_e, tmax_s])
     af = jnp.concatenate([jnp.zeros((n,), jnp.float32),
                           jnp.ones((n,), jnp.float32)])
+    motion = time_e is not None and bvh.tdv0 is not None
     key = sort_key_i32(oc, dc, tmin, tmax, lo, hi, anyflag=af)
     iota = jax.lax.iota(jnp.int32, 2 * n)
-    s = jax.lax.sort([key, iota, oc[0], oc[1], oc[2],
-                      dc[0], dc[1], dc[2], tmin, tmax, af], num_keys=1)
+    ops = [key, iota, oc[0], oc[1], oc[2],
+           dc[0], dc[1], dc[2], tmin, tmax, af]
+    if motion:
+        ops.append(jnp.concatenate([time_e, time_s]))
+    s = jax.lax.sort(ops, num_keys=1)
     inv = s[1]
     live = jnp.sum((tmax >= tmin).astype(jnp.int32))
     t_s, prim_s = traverse6(bvh, V3(s[2], s[3], s[4]), V3(s[5], s[6], s[7]),
                             s[8], s[9], any_hit=False, block_rows=8,
                             interpret=interpret, anyf=s[10],
-                            live_rows=(live + 127) // 128)
+                            live_rows=(live + 127) // 128,
+                            time=s[11] if motion else None)
     t = jnp.zeros((2 * n,), jnp.float32).at[inv].set(t_s)
     prim_p = jnp.full((2 * n,), -1, jnp.int32).at[inv].set(prim_s)
     te, prime, b1, b2 = finish_hits(bvh, perm, o_e, d_e, tmin_e,
-                                    t[:n], prim_p[:n])
+                                    t[:n], prim_p[:n],
+                                    time=time_e if motion else None)
     occluded = prim_p[n:] >= 0
     return te, prime, b1, b2, occluded
 

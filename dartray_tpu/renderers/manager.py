@@ -239,6 +239,11 @@ def run(job: RenderJob, progress: Optional[Callable] = None,
     # for ANY integrator. An ABSTRACT eval_shape trace (no device work, no
     # compile) runs even when the jit cache is warm — fixes the r3 weak #8
     # warm-cache fallback-to-fiction path.
+    # Scope (ADVICE r4 #5): the stat is only emitted HERE, for the standard
+    # full-image-wave renderer whose every wave is exactly width*height
+    # rays (the shape eval_shape traces). Band-sharded renders
+    # (parallel/mesh.render_sharded) and adaptive renders return above /
+    # elsewhere and intentionally do NOT report an "exact" query count.
     per_wave = _count_queries_per_wave(job, li, log)
     if per_wave == 0:
         depth = job.surf_params.find_one_int("maxdepth", 5)
@@ -424,9 +429,9 @@ def _override_accelerator(job: RenderJob, name: str, log=print) -> RenderJob:
     import dataclasses
     import numpy as _np
     geom = job.scene.geometry
-    if getattr(geom, "n_motion_bins", 0):
+    if getattr(geom, "has_motion", False):
         log(f"note: accelerator override {name!r} ignored for moving "
-            f"geometry (per-shutter-bin BVHs only)")
+            f"geometry (grid/kdtree do not lerp vertices by ray time)")
         return job
     want = name if name in ("grid", "kdtree") else ""
     if want == getattr(geom, "alt_kind", ""):

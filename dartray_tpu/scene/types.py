@@ -26,8 +26,8 @@ from . import mesh as mesh_mod
 @partial(jax.tree_util.register_dataclass,
          data_fields=["cl", "packed", "perm", "attr", "v0", "e1", "e2",
                       "vn", "uv", "mat_id", "light_id", "world_bound",
-                      "alpha_tid", "alpha_tex", "motion", "alt"],
-         meta_fields=["n_prims", "n_nodes", "has_alpha", "n_motion_bins",
+                      "alpha_tid", "alpha_tex", "alt"],
+         meta_fields=["n_prims", "n_nodes", "has_alpha", "has_motion",
                       "shutter", "alt_kind"])
 @dataclasses.dataclass
 class Geometry:
@@ -56,12 +56,6 @@ class Geometry:
     world_bound: jnp.ndarray   # (2, 3)
     alpha_tid: Any = None      # (F,) int32 alpha-mask texture id (-1 none)
     alpha_tex: Any = None      # textures.TextureData when has_alpha
-    # object motion blur: per-shutter-bin geometry variants (vertices lerped
-    # at bin centers, each with its own BVH). A TPU redesign of
-    # transformed_primitive.dart's per-ray AnimatedTransform interpolation:
-    # rays are partitioned by time into static bins (stratified shutter),
-    # exact as bins -> spp
-    motion: Any = None         # tuple of per-bin Geometry, or None
     # alternate accelerator (Accelerator "grid"/"kdtree"): the REAL
     # reference algorithms (accel/grid.py, accel/kdtree.py) — selectable,
     # oracle-tested, and deliberately NOT the TPU default (their per-lane
@@ -71,7 +65,11 @@ class Geometry:
     n_prims: int = 0
     n_nodes: int = 0
     has_alpha: bool = False    # static: gates the cutout continuation loop
-    n_motion_bins: int = 0     # static: 0 = static scene
+    # continuous object motion blur (animated_transform.dart:107-178
+    # redesign): the BVH is ONE shutter-union tree whose leaf tests lerp
+    # vertices to each ray's time (cl.tri_dv0 / packed.tdv0 deltas) — no
+    # per-bin retrace, no shutter banding
+    has_motion: bool = False
     shutter: tuple = (0.0, 1.0)
 
 
@@ -85,9 +83,6 @@ class CompiledScene:
     lights: Any         # lights.LightTable or None
     volume: Any         # volumes.VolumeData or None
     textures: Any       # textures.TextureData or None
-
-
-MOTION_BINS = 4      # shutter strata for moving geometry
 
 
 def compile_geometry(meshes, mat_ids=None, light_ids=None,
@@ -133,9 +128,33 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     v0 = np.concatenate(v0s)
     e1 = np.concatenate(e1s)
     e2 = np.concatenate(e2s)
-    cb = cluster_mod.build(v0, e1, e2, split_method=split_method)
+    # continuous object motion blur: ONE shutter-union BVH + per-triangle
+    # (close - open) soup deltas; leaf tests lerp by ray time
+    # (animated_transform.dart:107-178 redesign — replaces the round-3/4
+    # shutter-bin scheme that cost one traversal wave per bin and banded)
+    has_motion = any(getattr(m, "verts_end", None) is not None
+                     for m in meshes)
+    if has_motion:
+        vb0s, eb1s, eb2s = [], [], []
+        for m in meshes:
+            ve = (m.verts_end if getattr(m, "verts_end", None) is not None
+                  else m.verts)
+            b0, b1_, b2_ = bvh_mod.triangles_to_mt(ve, m.faces)
+            vb0s.append(b0)
+            eb1s.append(b1_)
+            eb2s.append(b2_)
+        cb = cluster_mod.build_motion(
+            v0, e1, e2, np.concatenate(vb0s), np.concatenate(eb1s),
+            np.concatenate(eb2s), split_method=split_method)
+    else:
+        cb = cluster_mod.build(v0, e1, e2, split_method=split_method)
     wb = np.stack([np.asarray(cb.node_lo[0]), np.asarray(cb.node_hi[0])])
     alt = None
+    if has_motion and accelerator in ("grid", "kdtree"):
+        import warnings
+        warnings.warn(f"Accelerator {accelerator!r} does not support "
+                      f"moving geometry; using the cluster BVH")
+        accelerator = "bvh"
     if accelerator == "grid":
         from ..accel import grid as grid_mod
         alt = grid_mod.build(v0, e1, e2)
@@ -148,35 +167,11 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     # round-trips over a possibly-tunneled chip during the build phase
     packed, perm = tp.pack(cb.node_lo, cb.node_hi, cb.node_child,
                            cb.node_axis, cb.tri_v0, cb.tri_e1, cb.tri_e2,
-                           cb.tri_id)
+                           cb.tri_id,
+                           deltas=((cb.tri_dv0, cb.tri_de1, cb.tri_de2)
+                                   if has_motion else None))
     alpha_tid = np.concatenate(alpha_ids)
     has_alpha = bool((alpha_tid >= 0).any()) and textures is not None
-    # object motion blur: build one geometry per shutter bin with vertices
-    # lerped at the bin center (each bin gets its own BVH, built on host)
-    has_motion = any(getattr(m, "verts_end", None) is not None
-                     for m in meshes)
-    motion = None
-    n_bins = 0
-    if has_motion:
-        import dataclasses as _dc
-        n_bins = MOTION_BINS
-        motion = []
-        for b in range(n_bins):
-            t = (b + 0.5) / n_bins
-            lerped = []
-            for m in meshes:
-                if getattr(m, "verts_end", None) is not None:
-                    mv = _dc.replace(
-                        m, verts=((1.0 - t) * m.verts
-                                  + t * m.verts_end).astype(np.float32),
-                        verts_end=None)
-                else:
-                    mv = m
-                lerped.append(mv)
-            motion.append(compile_geometry(
-                lerped, mat_ids, light_ids, split_method=split_method,
-                textures=textures, shutter=shutter))
-        motion = tuple(motion)
     vn_all = np.concatenate(vns)          # (F, 3 corners, 3)
     uv_all = np.concatenate(uvs)          # (F, 3 corners, 2)
     mat_all = np.concatenate(mids)
@@ -195,10 +190,10 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
         world_bound=wb.astype(np.float32),
         alpha_tid=alpha_tid if has_alpha else None,
         alpha_tex=textures if has_alpha else None,
-        motion=motion, alt=alt,
+        alt=alt,
         alt_kind=accelerator if alt is not None else "",
         n_prims=int(v0.shape[0]), n_nodes=cb.n_nodes, has_alpha=has_alpha,
-        n_motion_bins=n_bins, shutter=tuple(shutter))
+        has_motion=has_motion, shutter=tuple(shutter))
 
 
 def _v3_of(a):
@@ -314,12 +309,15 @@ def _detach(x):
 
 def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
     _log_query(rays)
+    if geom.has_motion:
+        rays = rays._replace(time=_shutter_time01(geom, rays))
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
         t, prim, b1, b2 = tp.intersect_rays(
             geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
             rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False, sort=sort,
-            order=order, interpret=FORCE_PALLAS_INTERPRET)
+            order=order, interpret=FORCE_PALLAS_INTERPRET,
+            time=rays.time if geom.has_motion else None)
         from ..accel.traverse import Hits
         return Hits(t=t, prim=prim, b1=b1, b2=b2)
     if geom.alt_kind == "grid":
@@ -357,10 +355,12 @@ def _alpha_cut(geom: "Geometry", hits):
     return (hits.prim >= 0) & (tid >= 0) & (a.x < 1e-3)
 
 
-def _motion_bin(geom: "Geometry", rays):
+def _shutter_time01(geom: "Geometry", rays):
+    """Normalized [0,1] shutter time for the motion lerp (None if static)."""
+    if not geom.has_motion:
+        return None
     o_, c_ = geom.shutter
-    t01 = jnp.clip((rays.time - o_) / max(c_ - o_, 1e-9), 0.0, 1.0 - 1e-6)
-    return (t01 * geom.n_motion_bins).astype(jnp.int32)
+    return jnp.clip((rays.time - o_) / max(c_ - o_, 1e-9), 0.0, 1.0)
 
 
 def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
@@ -369,27 +369,14 @@ def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
     coherence-sorted wavefront; elsewhere the XLA packet traversal.
     `order`: precomputed coherence permutation (per-bounce sort sharing).
 
-    Moving-geometry scenes trace one wave per shutter bin (lanes outside
-    the bin dead) against that bin's geometry and merge.
+    Moving-geometry scenes traverse ONE shutter-union BVH whose leaf tests
+    lerp vertices to each ray's time (continuous motion blur — no per-bin
+    waves, no banding).
 
     Alpha-masked scenes run a static continuation loop: cut-out hits
     re-trace from just past the hit with every other lane dead (the sorted
     kernel short-circuits dead lanes, so continuation waves cost ~the cut
     fraction)."""
-    if geom.n_motion_bins:
-        from ..accel.traverse import Hits
-        bins = _motion_bin(geom, rays)
-        h = None
-        for b, gb in enumerate(geom.motion):
-            mask = bins == b
-            rb = rays._replace(tmax=jnp.where(mask, rays.tmax, -1.0))
-            hb = intersect(gb, rb, sort=sort, order=order)
-            h = hb if h is None else Hits(
-                t=jnp.where(mask, hb.t, h.t),
-                prim=jnp.where(mask, hb.prim, h.prim),
-                b1=jnp.where(mask, hb.b1, h.b1),
-                b2=jnp.where(mask, hb.b2, h.b2))
-        return h
     geom = _detach(geom)
     rays = _detach(rays)
     order = None if order is None else jax.lax.stop_gradient(order)
@@ -423,7 +410,7 @@ def intersect_pair(geom: "Geometry", ext_rays, shadow_rays):
     need the split form).
 
     Returns (Hits for ext_rays, occluded bool for shadow_rays)."""
-    if (not _use_pallas(geom)) or geom.has_alpha or geom.n_motion_bins:
+    if (not _use_pallas(geom)) or geom.has_alpha:
         h = intersect(geom, ext_rays)
         occ = intersect_p(geom, shadow_rays)
         return h, occ
@@ -434,29 +421,26 @@ def intersect_pair(geom: "Geometry", ext_rays, shadow_rays):
     shadow_rays = _detach(shadow_rays)
     from ..ops import traverse_pallas as tp
     from ..accel.traverse import Hits
+    t_e = t_s = None
+    if geom.has_motion:
+        t_e = _shutter_time01(geom, ext_rays)
+        t_s = _shutter_time01(geom, shadow_rays)
     t, prim, b1, b2, occ = tp.intersect_rays_pair(
         geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
         ext_rays.o, ext_rays.d, ext_rays.tmin, ext_rays.tmax,
         shadow_rays.o, shadow_rays.d, shadow_rays.tmin, shadow_rays.tmax,
-        interpret=FORCE_PALLAS_INTERPRET)
+        interpret=FORCE_PALLAS_INTERPRET, time_e=t_e, time_s=t_s)
     return Hits(t=t, prim=prim, b1=b1, b2=b2), occ
 
 
 def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
     """Any-hit occlusion (Scene.intersectP, lib/core/scene.dart:60)."""
-    if geom.n_motion_bins:
-        bins = _motion_bin(geom, rays)
-        occ = None
-        for b, gb in enumerate(geom.motion):
-            mask = bins == b
-            rb = rays._replace(tmax=jnp.where(mask, rays.tmax, -1.0))
-            ob = intersect_p(gb, rb, sort=sort, order=order) & mask
-            occ = ob if occ is None else (occ | ob)
-        return occ
     _log_query(rays)
     geom = _detach(geom)
     rays = _detach(rays)
     order = None if order is None else jax.lax.stop_gradient(order)
+    if geom.has_motion and not geom.has_alpha:
+        rays = rays._replace(time=_shutter_time01(geom, rays))
     if not geom.has_alpha:
         if _use_pallas(geom):
             from ..ops import traverse_pallas as tp
@@ -464,7 +448,8 @@ def intersect_p(geom: "Geometry", rays, sort: bool = True, order=None):
                 geom.packed, geom.perm, geom.world_bound[0],
                 geom.world_bound[1],
                 rays.o, rays.d, rays.tmin, rays.tmax, any_hit=True,
-                sort=sort, order=order, interpret=FORCE_PALLAS_INTERPRET)
+                sort=sort, order=order, interpret=FORCE_PALLAS_INTERPRET,
+                time=rays.time if geom.has_motion else None)
             return prim >= 0
         if geom.alt_kind == "grid":
             from ..accel import grid as grid_mod
@@ -515,7 +500,7 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
     ng = attr_v3(rows, 9)
     dpdu = attr_v3(rows, 12)
     dpdv = attr_v3(rows, 15)
-    if geom.n_motion_bins:
+    if geom.has_motion:
         # moving geometry: the hit point comes from the ray (exact for the
         # returned t); uv/normals interpolate the shutter-start topology
         # (exact under translation, the anim-bluespheres class)

@@ -94,34 +94,46 @@ def test_tmin_tmax_respected():
     assert ((t2 < t * 0.99) | ~np.asarray(h2.hit)).all()
 
 
-def test_object_motion_blur_bins():
-    """Object motion blur (transformed_primitive.dart:26-60 redesigned as
-    shutter-bin geometries): a sphere translating +2x over the shutter is
-    hit at bin-center positions for rays stamped with matching times."""
+def test_object_motion_blur_continuous():
+    """Continuous object motion blur (animated_transform.dart:107-178
+    redesign: ONE shutter-union BVH, leaf tests lerp vertices by ray time):
+    a sphere translating +2x over the shutter is hit at the EXACTLY
+    interpolated position for arbitrary (non-quantized) shutter times —
+    the round-4 4-bin scheme was only correct at bin centers and banded."""
     from dartray_tpu.scene import types as st, mesh as mesh_mod
     m = mesh_mod.sphere(radius=0.5, nu=24, nv=12)
     m.verts_end = (m.verts + np.asarray([2.0, 0, 0], np.float32))
     geom = st.compile_geometry([m], [0], [-1])
-    assert geom.n_motion_bins > 0 and geom.motion is not None
+    assert geom.has_motion
+    assert geom.cl.tri_dv0 is not None and geom.packed.tdv0 is not None
     geom = st.to_device(geom)     # compile_geometry returns host numpy
-    n = geom.n_motion_bins
-    # one ray per bin aimed at the bin-center sphere position
-    ts = (np.arange(n) + 0.5) / n
+    # arbitrary times, deliberately NOT at any bin center
+    ts = np.asarray([0.0, 0.11, 0.37, 0.5, 0.73, 0.99], np.float32)
+    n = ts.shape[0]
     o = np.stack([2.0 * ts, np.zeros(n), np.full(n, -3.0)], -1)
     d = np.broadcast_to(np.asarray([0, 0, 1.0], np.float32), (n, 3)).copy()
-    rays = vm.Rays(o=jnp.asarray(o, jnp.float32), d=jnp.asarray(d),
-                   tmin=jnp.zeros(n), tmax=jnp.full(n, np.inf),
-                   time=jnp.asarray(ts, jnp.float32))
+    rays = vm.make_rays(jnp.asarray(o, jnp.float32), jnp.asarray(d),
+                        time=jnp.asarray(ts, jnp.float32))
     h = st.intersect(geom, rays)
     t = np.asarray(h.t)
     assert (np.asarray(h.prim) >= 0).all()
-    np.testing.assert_allclose(t, 2.5, atol=0.02)   # front of the sphere
+    # front of the lerped sphere: ray origin tracks the center exactly
+    np.testing.assert_allclose(t, 2.5, atol=0.02)
+    # interaction's hit point must be ray-consistent for moving geometry
+    it = st.interaction(geom, rays, h)
+    p = np.stack([np.asarray(it["p"].x), np.asarray(it["p"].y),
+                  np.asarray(it["p"].z)], -1)
+    np.testing.assert_allclose(p, o + t[:, None] * d, atol=1e-4)
     # a ray aimed at the START position but stamped with END time misses
     rays2 = rays._replace(
         o=jnp.asarray(np.asarray([[0, 0, -3.0]] * n, np.float32)),
         time=jnp.full(n, 1.0 - 1e-4))
     h2 = st.intersect(geom, rays2)
     assert (np.asarray(h2.prim) < 0).all()
+    # occlusion path sees the moving blocker too
+    occ = st.intersect_p(geom, rays)
+    occ2 = st.intersect_p(geom, rays2)
+    assert np.asarray(occ).all() and not np.asarray(occ2).any()
 
 
 def test_attr_row_id_columns_bit_exact():
@@ -153,3 +165,41 @@ def test_attr_row_id_columns_bit_exact():
     got_lid = np.asarray(jax.lax.bitcast_convert_type(rows[34], jnp.int32))
     np.testing.assert_array_equal(got_mat, mat[np.asarray(idx)])
     np.testing.assert_array_equal(got_lid, lid[np.asarray(idx)])
+
+
+def test_object_motion_blur_pallas_interpret():
+    """The TPU kernel path (v6 motion mode, interpret): same continuous-
+    motion scene as above must agree with the XLA fallback traversal,
+    including the merged extension+shadow (mixed) launch."""
+    from dartray_tpu.scene import types as st, mesh as mesh_mod
+    m = mesh_mod.sphere(radius=0.5, nu=24, nv=12)
+    m.verts_end = (m.verts + np.asarray([2.0, 0, 0], np.float32))
+    geom = st.to_device(st.compile_geometry([m], [0], [-1]))
+    rng = np.random.RandomState(11)
+    n = 256
+    ts = rng.rand(n).astype(np.float32)
+    # rays from a ring of origins toward the lerped sphere center
+    ang = rng.rand(n) * 2 * np.pi
+    o = np.stack([2.0 * ts + 3.0 * np.cos(ang), 3.0 * np.sin(ang),
+                  -3.0 * np.ones(n)], -1).astype(np.float32)
+    c = np.stack([2.0 * ts, np.zeros(n), np.zeros(n)], -1)
+    d = (c - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = vm.make_rays(jnp.asarray(o), jnp.asarray(d),
+                        time=jnp.asarray(ts))
+    h_ref = st.intersect(geom, rays)          # XLA fallback (lerped)
+    occ_ref = st.intersect_p(geom, rays)
+    assert np.asarray(h_ref.prim >= 0).all()  # all aimed at the center
+    old = st.FORCE_PALLAS_INTERPRET
+    st.FORCE_PALLAS_INTERPRET = True
+    try:
+        h_k = st.intersect(geom, rays)
+        h_pair, occ_k = st.intersect_pair(geom, rays, rays)
+    finally:
+        st.FORCE_PALLAS_INTERPRET = old
+    for hk in (h_k, h_pair):
+        assert (np.asarray(hk.prim) == np.asarray(h_ref.prim)).mean() > 0.99
+        both = (np.asarray(hk.prim) >= 0) & (np.asarray(h_ref.prim) >= 0)
+        np.testing.assert_allclose(np.asarray(hk.t)[both],
+                                   np.asarray(h_ref.t)[both], rtol=1e-4)
+    assert (np.asarray(occ_k) == np.asarray(occ_ref)).all()

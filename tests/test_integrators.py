@@ -20,7 +20,12 @@ def _render(scene, li, w=32, h=32, spp=16, eye=(0, 0, -4), at=(0, 0, 0),
 
 
 def test_furnace_plane_path():
-    """Matte plane under constant env: reflected radiance == albedo * L."""
+    """Matte plane under constant env: reflected radiance == albedo * L.
+
+    Budgeted (VERDICT r5 #4): this is a statistical smoke check, not a
+    convergence proof — 16x16 spp 16 keeps it ~10x cheaper than the r4
+    32x32 spp 64 version (which ran 670 s on the 2-core box) at
+    correspondingly loosened MC tolerances."""
     rho = 0.5
     b = sb.SceneBuilder()
     m = b.add_material(mat_mod.matte(kd=(rho,) * 3))
@@ -29,10 +34,11 @@ def test_furnace_plane_path():
     b.add_light(lt_mod.infinite_light(np.ones((8, 16, 3), np.float32)))
     scene = b.build()
     ig = pi.PathIntegrator(max_depth=5)
-    img = _render(scene, lambda s, r, d, c: pi.li(ig, s, r, d, c), spp=64)
+    img = _render(scene, lambda s, r, d, c: pi.li(ig, s, r, d, c), spp=16,
+                  w=16, h=16)
     err = img[..., 0] - rho
-    assert abs(err.mean()) < 0.01
-    assert err.std() < 0.05
+    assert abs(err.mean()) < 0.02
+    assert err.std() < 0.1
 
 
 def test_furnace_plane_direct():
@@ -45,8 +51,9 @@ def test_furnace_plane_direct():
     b.add_light(lt_mod.infinite_light(np.ones((8, 16, 3), np.float32)))
     scene = b.build()
     ig = di.DirectLightingIntegrator(max_depth=1)
-    img = _render(scene, lambda s, r, d, c: di.li(ig, s, r, d, c), spp=64)
-    assert abs(img[..., 0].mean() - rho) < 0.015
+    img = _render(scene, lambda s, r, d, c: di.li(ig, s, r, d, c), spp=16,
+                  w=16, h=16)
+    assert abs(img[..., 0].mean() - rho) < 0.03
 
 
 def test_point_light_inverse_square():
@@ -84,10 +91,12 @@ def test_distant_light_analytic():
 
 @pytest.fixture(scope="module")
 def cornell_path_img():
+    # budgeted (VERDICT r5 #4): 32x32 spp 12 — a structure check, not a
+    # convergence proof (the r4 48x48 spp 32 fixture took 432 s to set up)
     scene = sb.cornell_box().build()
     ig = pi.PathIntegrator(max_depth=5)
     return _render(scene, lambda s, r, d, c: pi.li(ig, s, r, d, c),
-                   w=48, h=48, spp=32, eye=(0, 1.0, -3.6), at=(0, 1.0, 0),
+                   w=32, h=32, spp=12, eye=(0, 1.0, -3.6), at=(0, 1.0, 0),
                    fov=40.0)
 
 
@@ -95,12 +104,12 @@ def test_cornell_path_structure(cornell_path_img):
     img = cornell_path_img
     assert np.isfinite(img).all()
     # left wall red-dominant, right wall green-dominant
-    left = img[20:28, 2:5].mean(axis=(0, 1))
-    right = img[20:28, 43:46].mean(axis=(0, 1))
+    left = img[13:19, 1:3].mean(axis=(0, 1))
+    right = img[13:19, 29:31].mean(axis=(0, 1))
     assert left[0] > 2.0 * left[1]
     assert right[1] > 2.0 * right[0]
     # GI: white floor near red wall picks up red color bleeding
-    floor_l = img[42:46, 6:12].mean(axis=(0, 1))
+    floor_l = img[28:31, 4:8].mean(axis=(0, 1))
     assert floor_l[0] > floor_l[1] * 1.05
     # image is lit overall
     assert img.mean() > 0.05
@@ -111,11 +120,11 @@ def test_cornell_path_vs_direct_brighter(cornell_path_img):
     scene = sb.cornell_box().build()
     ig = di.DirectLightingIntegrator(max_depth=1, strategy=di.STRATEGY_ALL)
     dimg = _render(scene, lambda s, r, d, c: di.li(ig, s, r, d, c),
-                   w=48, h=48, spp=32, eye=(0, 1.0, -3.6), at=(0, 1.0, 0),
+                   w=32, h=32, spp=12, eye=(0, 1.0, -3.6), at=(0, 1.0, 0),
                    fov=40.0)
     # compare mean luminance on diffuse regions (exclude mirror sphere)
-    p = cornell_path_img[:, :24].mean()
-    d = dimg[:, :24].mean()
+    p = cornell_path_img[:, :16].mean()
+    d = dimg[:, :16].mean()
     assert p > d * 1.05
 
 
