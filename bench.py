@@ -166,25 +166,32 @@ def main():
     # BENCH_GRAD=RES:SPP overrides the shape; BENCH_GRAD=0 disables.
     grad_s = None
     g_norm = None
+    grad_err = None
     grad_cfg = os.environ.get("BENCH_GRAD", "96:8")
     if grad_cfg not in ("0", "off", ""):
-        res_s, spp_s = grad_cfg.split(":")
-        gw = int(res_s)
-        gspp = int(spp_s)
-        from dartray_tpu import grad as grad_mod
-        theta, inject = grad_mod.select(scene, ["materials.kd"])
-        gsmp = samplers.make_sampler("lowdiscrepancy", spp=gspp)
-        gcam = cameras.perspective(c2w, 42.0, gw, gw)
-        t0 = time.time()
-        val, grads = grad_mod.render_loss_grad(
-            scene, gcam, gsmp, li, gw, gw, theta, inject,
-            lambda im: (im ** 2).mean(), spp=gspp)
-        jax.block_until_ready(grads)
-        g_norm = float(jnp.linalg.norm(grads["materials.kd"]))
-        grad_s = round(time.time() - t0, 2)
-        print(f"[bench] grad probe {gw}x{gw} spp{gspp}: {grad_s}s "
-              f"(incl. compile), |dL/dkd| = {g_norm:.3e}",
-              file=sys.stderr, flush=True)
+        # a probe failure must never swallow the headline JSON line
+        try:
+            res_s, spp_s = grad_cfg.split(":")
+            gw = int(res_s)
+            gspp = int(spp_s)
+            from dartray_tpu import grad as grad_mod
+            theta, inject = grad_mod.select(scene, ["materials.kd"])
+            gsmp = samplers.make_sampler("lowdiscrepancy", spp=gspp)
+            gcam = cameras.perspective(c2w, 42.0, gw, gw)
+            t0 = time.time()
+            val, grads = grad_mod.render_loss_grad(
+                scene, gcam, gsmp, li, gw, gw, theta, inject,
+                lambda im: (im ** 2).mean(), spp=gspp)
+            jax.block_until_ready(grads)
+            g_norm = float(jnp.linalg.norm(grads["materials.kd"]))
+            grad_s = round(time.time() - t0, 2)
+            print(f"[bench] grad probe {gw}x{gw} spp{gspp}: {grad_s}s "
+                  f"(incl. compile), |dL/dkd| = {g_norm:.3e}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            grad_err = f"{type(e).__name__}: {e}"[:300]
+            print(f"[bench] grad probe FAILED: {grad_err}",
+                  file=sys.stderr, flush=True)
 
     result = {
         "metric": "rays/s/chip (path, %dx%d, depth %d)" % (width, height,
@@ -203,6 +210,8 @@ def main():
     if grad_s is not None:
         result["grad_s"] = grad_s
         result["grad_norm"] = g_norm
+    elif grad_err is not None:
+        result["grad_error"] = grad_err
     print(json.dumps(result))
 
 

@@ -101,19 +101,35 @@ def render_image(scene, camera, sampler, li_fn, width, height,
     return film_mod.to_rgb(film)
 
 
+def _grad_compiler_options():
+    """On TPU backends, raise XLA's scoped-VMEM budget for gradient jits.
+
+    The backward sweep of the remat'd wave recomputes several traversal
+    Pallas calls whose scoped-VMEM stacks (scene residency + ray planes,
+    ~6.5 MB each) the scheduler is free to overlap; with the default 16 MB
+    limit the grad executable fails AOT compile (measured round 5 on v5e:
+    26.2 MB requested). 64 MB is well inside the chip's 128 MB VMEM and
+    only applies to gradient executables — the forward render keeps the
+    default limit (its chunked dispatch was tuned against it)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    return None
+
+
 def render_loss_grad(scene, camera, sampler, li_fn, width, height,
                      theta, inject, loss_fn, spp: int | None = None):
     """(loss, d loss / d theta) with the detached estimator.
 
     theta/inject from `select`. loss_fn: (H,W,3) image -> scalar."""
 
-    @jax.jit
     def run(theta):
         s = inject(scene, theta)
         img = render_image(s, camera, sampler, li_fn, width, height, spp=spp)
         return loss_fn(img)
 
-    return jax.value_and_grad(run)(theta)
+    grad_fn = jax.jit(jax.value_and_grad(run),
+                      compiler_options=_grad_compiler_options())
+    return grad_fn(theta)
 
 
 def render_pixel_jacobian_sum(scene, camera, sampler, li_fn, width, height,
