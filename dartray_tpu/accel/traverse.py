@@ -35,6 +35,14 @@ class Hits(NamedTuple):
     prim: jnp.ndarray     # (R,) int32 triangle id, -1 on miss
     b1: jnp.ndarray       # (R,) barycentric weight of v1
     b2: jnp.ndarray       # (R,) barycentric weight of v2
+    # (48, R) per-hit attr rows prefetched by the traversal finish (the
+    # combined finish+interaction gather, ops/traverse_pallas.py
+    # finish_hits_rows) — layout identical to scene/types._pack_attr; None
+    # off the Pallas path (scene/types.interaction falls back to its own
+    # gather). A 262k-index gather is index-bound (~8-16 ms on v5e), so
+    # sharing ONE row fetch between exact-hit finishing and shading saves
+    # a full gather per closest-hit wave.
+    rows: jnp.ndarray = None
 
     @property
     def hit(self):

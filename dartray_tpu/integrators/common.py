@@ -72,8 +72,10 @@ def estimate_direct(scene, it, frame, params, wo, light_idx,
                    time=jnp.zeros_like(eps))
     bh = st.intersect(geom, bray)
     hit_prim = jnp.maximum(bh.prim, 0)
-    # one wide attr-row gather: precomputed ng + light id
-    hrows = st.attr_rows(geom, hit_prim)
+    # attr rows: prefetched by the traversal finish on the Pallas path,
+    # else one wide row gather (precomputed ng + light id)
+    hrows = bh.rows if getattr(bh, "rows", None) is not None \
+        else st.attr_rows(geom, hit_prim)
     hit_lid = jax.lax.bitcast_convert_type(hrows[34], jnp.int32)
     hit_light = jnp.where(bh.prim >= 0, hit_lid, -1)
     same_light = (hit_light >= 0) & (hit_light == light_idx)

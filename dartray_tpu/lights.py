@@ -44,7 +44,8 @@ INF_DIST = 1e7  # "escaped" shadow-ray length for distant/infinite lights
                       "total_area", "scene_radius", "power_cdf",
                       "env_map", "env_cond_cdf", "env_cond_func",
                       "env_cond_int", "env_marg_cdf", "env_marg_func",
-                      "env_marg_int", "proj_map"],
+                      "env_marg_int", "proj_map", "tri_rows",
+                      "tri_row_offset"],
          meta_fields=["n", "env_light_index", "env_w", "env_h"])
 @dataclasses.dataclass
 class LightTable:
@@ -74,6 +75,14 @@ class LightTable:
     env_light_index: int     # -1 if no infinite light
     env_w: int
     env_h: int
+    # COMPACT area-light triangle rows (T, 12): [v0 e1 e2 ng] copied out of
+    # the geometry attr table at build — NEE's per-bounce sampled-triangle
+    # fetch gathers from this tiny table instead of the (F, 48) scene attr
+    # table (a 262k-index gather from a big table is ~8 ms on v5e; from a
+    # few-row table it is ~free). None when built without geometry attrs
+    # (sample_li falls back to the big-table gather).
+    tri_rows: Optional[jnp.ndarray] = None
+    tri_row_offset: Optional[jnp.ndarray] = None  # (L,) int32
 
 
 class LightSpec(NamedTuple):
@@ -145,7 +154,11 @@ def goniometric_light(p, w2l, intensity=(1.0,) * 3, gonio_map=None):
                      w2l=w2l, proj_map=np.asarray(gonio_map, np.float32))
 
 
-def build_table(specs, scene_radius=10.0) -> LightTable:
+def build_table(specs, scene_radius=10.0, attr=None) -> LightTable:
+    """attr: the geometry's (F, 48) attr-row table (scene/types._pack_attr).
+    When given, area-light triangle rows [v0 e1 e2 ng] are copied into the
+    compact LightTable.tri_rows so NEE sampling never gathers from the big
+    per-face table."""
     l = max(len(specs), 1)
     kind = np.zeros(l, np.int32)
     p = np.zeros((l, 3), np.float32)
@@ -157,6 +170,9 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
     cdf_offset = np.zeros(l, np.int32)
     total_area = np.zeros(l, np.float32)
     cdfs = []
+    tri_row_offset = np.zeros(l, np.int32)
+    tri_row_chunks = []
+    tri_row_off = 0
     env_idx, env_map = -1, np.zeros((1, 1, 3), np.float32)
     proj_map = np.ones((1, 1, 3), np.float32)
     off = 0
@@ -177,6 +193,11 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
             cdf_offset[i] = off
             cdfs.append(cdf.astype(np.float32))
             off += len(cdf)
+            if attr is not None:
+                tri_row_offset[i] = tri_row_off
+                tri_row_chunks.append(np.ascontiguousarray(
+                    attr[s.tri_offset:s.tri_offset + s.tri_count, :12]))
+                tri_row_off += s.tri_count
         if s.kind == INFINITE:
             env_idx = i
             env_map = s.env_map
@@ -238,7 +259,12 @@ def build_table(specs, scene_radius=10.0) -> LightTable:
         env_cond_int=d2.cond_int, env_marg_cdf=d2.marg_cdf,
         env_marg_func=d2.marg_func, env_marg_int=d2.marg_int,
         proj_map=np.asarray(proj_map, np.float32),
-        n=len(specs), env_light_index=env_idx, env_w=we, env_h=he)
+        n=len(specs), env_light_index=env_idx, env_w=we, env_h=he,
+        tri_rows=(np.concatenate(tri_row_chunks)
+                  if (attr is not None and tri_row_chunks)
+                  else (np.zeros((1, 12), np.float32)
+                        if attr is not None else None)),
+        tri_row_offset=tri_row_offset if attr is not None else None)
 
 
 from .core.math import V3, V2
@@ -469,11 +495,18 @@ def sample_li(lt: LightTable, geom, light_idx, p_surf: V3, u,
 
     left, right = jax.lax.fori_loop(0, max_iter, bs_body, (left, right))
     tri_k = jnp.clip(left - 1, 0, nt - 1)
-    tri_id = lt.tri_offset[li_] + tri_k
     b1, b2 = smp.uniform_sample_triangle(u)
-    # one wide attr-row gather (v0|e1|e2|ng) instead of 9 component gathers
     from .scene import types as _st
-    rows = _st.attr_rows(geom, tri_id)
+    if lt.tri_rows is not None:
+        # compact light-tri table: T is a handful of rows, so this gather
+        # is ~free (XLA lowers small-table gathers to selects/loads) vs the
+        # ~8 ms 262k-index fetch from the (F, 48) scene attr table
+        ridx = jnp.clip(lt.tri_row_offset[li_] + tri_k, 0,
+                        lt.tri_rows.shape[0] - 1)
+        rows = jnp.transpose(lt.tri_rows[ridx])
+    else:
+        # one wide attr-row gather (v0|e1|e2|ng), 9 component gathers saved
+        rows = _st.attr_rows(geom, lt.tri_offset[li_] + tri_k)
     tv0 = _st.attr_v3(rows, 0)
     te1 = _st.attr_v3(rows, 3)
     te2 = _st.attr_v3(rows, 6)

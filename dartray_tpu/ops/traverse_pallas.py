@@ -957,6 +957,14 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p,
         e1 = [bvh.te1[c].reshape(-1)[flat] for c in range(3)]
         e2 = [bvh.te2[c].reshape(-1)[flat] for c in range(3)]
         orig = perm[pp]
+    t_out, u, v = _exact_mt(oc, dc, v0, e1, e2, hit)
+    prim = jnp.where(hit, orig, -1)
+    return t_out, prim, u, v
+
+
+def _exact_mt(oc, dc, v0, e1, e2, hit):
+    """Full-precision Moeller-Trumbore over component lists (the finish
+    evaluation; triangle.dart:44-160 semantics)."""
     px = dc[1] * e2[2] - dc[2] * e2[1]
     py = dc[2] * e2[0] - dc[0] * e2[2]
     pz = dc[0] * e2[1] - dc[1] * e2[0]
@@ -971,9 +979,40 @@ def finish_hits(bvh: PackedBVH, perm, o, d, tmin, t_approx, prim_p,
     qz = tx * e1[1] - ty * e1[0]
     v = (dc[0] * qx + dc[1] * qy + dc[2] * qz) * inv_det
     t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-    prim = jnp.where(hit, orig, -1)
     t_out = jnp.where(hit, t, jnp.float32(jnp.inf))
-    return t_out, prim, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+    return t_out, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+
+
+def finish_hits_rows(bvh: PackedBVH, attrp, o, d, tmin, t_approx, prim_p,
+                     time=None):
+    """finish_hits via the COMBINED finish+interaction table: ONE row
+    gather serves both the exact-hit evaluation (cols 0-8 = the packed
+    soup the kernel tested, col 36 = original prim id bits) and the
+    downstream shading interaction (cols 9-35, scene/types._pack_attr
+    layout). Saves a full index-bound gather per closest-hit wave vs the
+    soup16-then-attr pair (measured ~8 ms each at 262k lanes on v5e).
+
+    Returns (t, prim, b1, b2, rows) with rows (48, R) transposed for
+    lane-packed column slices."""
+    oc, dc = _components(o, d)
+    hit = prim_p >= 0
+    pp = jnp.maximum(prim_p, 0)
+    rows = jnp.transpose(attrp[pp])                 # (48, R)
+    v0 = [rows[0], rows[1], rows[2]]
+    e1 = [rows[3], rows[4], rows[5]]
+    e2 = [rows[6], rows[7], rows[8]]
+    orig = jax.lax.bitcast_convert_type(rows[36], jnp.int32)
+    if time is not None and bvh.soup16d is not None:
+        # continuous motion: lerp the finish vertices to the ray's shutter
+        # time (interaction's shading attrs stay shutter-start by design —
+        # it derives p from the ray for moving scenes)
+        rd = jnp.transpose(bvh.soup16d[pp])
+        v0 = [a + time * rd[c] for c, a in enumerate(v0)]
+        e1 = [a + time * rd[3 + c] for c, a in enumerate(e1)]
+        e2 = [a + time * rd[6 + c] for c, a in enumerate(e2)]
+    t_out, u, v = _exact_mt(oc, dc, v0, e1, e2, hit)
+    prim = jnp.where(hit, orig, -1)
+    return t_out, prim, u, v, rows
 
 
 # kernel/config chosen from the round-3 on-chip sweep (tools/exp_wide.py):
@@ -1017,7 +1056,7 @@ def sort_key_i32(oc, dc, tmin, tmax, lo, hi, anyflag=None):
 def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
                    any_hit: bool = False, sort: bool = True,
                    kernel: str | None = None, order=None,
-                   interpret: bool = False, time=None):
+                   interpret: bool = False, time=None, rows_table=None):
     """Full traversal pipeline: fused sort -> Pallas kernel -> unsort ->
     finish.
 
@@ -1084,6 +1123,10 @@ def intersect_rays(bvh: PackedBVH, perm, lo, hi, o, d, tmin, tmax, *,
         # (same sign) skips a 262k-index gather per shadow wave
         z = jnp.zeros_like(t)
         return t, prim_p, z, z
+    if rows_table is not None:
+        # combined finish+interaction gather: +rows in the return tuple
+        return finish_hits_rows(bvh, rows_table, o, d, tmin, t, prim_p,
+                                time=time)
     return finish_hits(bvh, perm, o, d, tmin, t, prim_p, time=time)
 
 
@@ -1091,7 +1134,7 @@ def intersect_rays_pair(bvh: PackedBVH, perm, lo, hi,
                         o_e, d_e, tmin_e, tmax_e,
                         o_s, d_s, tmin_s, tmax_s, *,
                         interpret: bool = False,
-                        time_e=None, time_s=None):
+                        time_e=None, time_s=None, rows_table=None):
     """ONE traversal launch over 2R lanes: closest-hit extension rays +
     any-hit shadow rays, distinguished by a per-lane flag (kernel v6 mixed
     mode). Merging halves the per-bounce launch count (and coherence
@@ -1128,10 +1171,15 @@ def intersect_rays_pair(bvh: PackedBVH, perm, lo, hi,
                             time=s[11] if motion else None)
     t = jnp.zeros((2 * n,), jnp.float32).at[inv].set(t_s)
     prim_p = jnp.full((2 * n,), -1, jnp.int32).at[inv].set(prim_s)
+    occluded = prim_p[n:] >= 0
+    if rows_table is not None:
+        te, prime, b1, b2, rows = finish_hits_rows(
+            bvh, rows_table, o_e, d_e, tmin_e, t[:n], prim_p[:n],
+            time=time_e if motion else None)
+        return te, prime, b1, b2, occluded, rows
     te, prime, b1, b2 = finish_hits(bvh, perm, o_e, d_e, tmin_e,
                                     t[:n], prim_p[:n],
                                     time=time_e if motion else None)
-    occluded = prim_p[n:] >= 0
     return te, prime, b1, b2, occluded
 
 

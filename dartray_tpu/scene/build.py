@@ -66,7 +66,7 @@ class SceneBuilder:
                                    shutter=self.shutter)
         wb = np.asarray(geom.world_bound)
         radius = float(np.linalg.norm(wb[1] - wb[0]) * 0.5) or 10.0
-        lt = lt_mod.build_table(specs, scene_radius=radius)
+        lt = lt_mod.build_table(specs, scene_radius=radius, attr=geom.attr)
         mats = mat_mod.build_table(self.mat_rows)
         return st.CompiledScene(geometry=geom, materials=mats, lights=lt,
                                 volume=self.volume, textures=self.textures)

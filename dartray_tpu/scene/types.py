@@ -24,8 +24,8 @@ from . import mesh as mesh_mod
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cl", "packed", "perm", "attr", "v0", "e1", "e2",
-                      "vn", "uv", "mat_id", "light_id", "world_bound",
+         data_fields=["cl", "packed", "perm", "attr", "attrp", "v0", "e1",
+                      "e2", "vn", "uv", "mat_id", "light_id", "world_bound",
                       "alpha_tid", "alpha_tex", "alt"],
          meta_fields=["n_prims", "n_nodes", "has_alpha", "has_motion",
                       "shutter", "alt_kind"])
@@ -46,6 +46,11 @@ class Geometry:
     packed: Any              # ops.traverse_pallas.PackedBVH or None
     perm: Optional[jnp.ndarray]   # (C*K,) permuted prim id -> original
     attr: Optional[jnp.ndarray]   # (F, 48) packed attr rows (_pack_attr)
+    # (C*K, 48) PACKED-order combined finish+interaction rows: attr rows
+    # permuted to kernel prim order with cols 0-8 replaced by the exact
+    # packed soup and col 36 = original prim id bits — ONE gather per
+    # closest-hit wave serves both finish_hits and interaction
+    attrp: Optional[jnp.ndarray]
     v0: jnp.ndarray
     e1: jnp.ndarray
     e2: jnp.ndarray
@@ -176,10 +181,22 @@ def compile_geometry(meshes, mat_ids=None, light_ids=None,
     uv_all = np.concatenate(uvs)          # (F, 3 corners, 2)
     mat_all = np.concatenate(mids)
     light_all = np.concatenate(lids)
+    attr = _pack_attr(v0, e1, e2, vn_all, uv_all, mat_all, light_all,
+                      alpha_tid)
+    # packed-order combined finish+interaction rows (host numpy): attr rows
+    # reordered to kernel prim ids; cols 0-8 = the EXACT packed soup the
+    # kernel leaf-tests (pad slots keep zero edges -> det 0 -> never hit);
+    # col 36 = original prim id bits. ONE (C*K, 48) row gather per
+    # closest-hit wave then serves finish AND shading (finish_hits_rows).
+    attrp = attr[np.maximum(perm, 0)].copy()
+    for c in range(3):
+        attrp[:, 0 + c] = packed.tv0[c].reshape(-1)
+        attrp[:, 3 + c] = packed.te1[c].reshape(-1)
+        attrp[:, 6 + c] = packed.te2[c].reshape(-1)
+    attrp[:, 36] = np.asarray(perm, np.int32).view(np.float32)
     return Geometry(
         cl=cb, packed=packed, perm=perm,
-        attr=_pack_attr(v0, e1, e2, vn_all, uv_all, mat_all, light_all,
-                        alpha_tid),
+        attr=attr, attrp=attrp,
         v0=_v3_of(v0), e1=_v3_of(e1), e2=_v3_of(e2),
         vn=tuple(_v3_of(vn_all[:, k]) for k in range(3)),
         uv=tuple(vm.V2(np.ascontiguousarray(uv_all[:, k, 0]),
@@ -313,12 +330,21 @@ def _raw_intersect(geom: "Geometry", rays, sort: bool, order=None):
         rays = rays._replace(time=_shutter_time01(geom, rays))
     if _use_pallas(geom):
         from ..ops import traverse_pallas as tp
+        from ..accel.traverse import Hits
+        if geom.attrp is not None:
+            t, prim, b1, b2, rows = tp.intersect_rays(
+                geom.packed, geom.perm, geom.world_bound[0],
+                geom.world_bound[1],
+                rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False,
+                sort=sort, order=order, interpret=FORCE_PALLAS_INTERPRET,
+                time=rays.time if geom.has_motion else None,
+                rows_table=geom.attrp)
+            return Hits(t=t, prim=prim, b1=b1, b2=b2, rows=rows)
         t, prim, b1, b2 = tp.intersect_rays(
             geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
             rays.o, rays.d, rays.tmin, rays.tmax, any_hit=False, sort=sort,
             order=order, interpret=FORCE_PALLAS_INTERPRET,
             time=rays.time if geom.has_motion else None)
-        from ..accel.traverse import Hits
         return Hits(t=t, prim=prim, b1=b1, b2=b2)
     if geom.alt_kind == "grid":
         from ..accel import grid as grid_mod
@@ -395,7 +421,9 @@ def intersect(geom: "Geometry", rays, sort: bool = True, order=None):
         h = Hits(t=jnp.where(cut, h2.t, h.t),
                  prim=jnp.where(cut, h2.prim, h.prim),
                  b1=jnp.where(cut, h2.b1, h.b1),
-                 b2=jnp.where(cut, h2.b2, h.b2))
+                 b2=jnp.where(cut, h2.b2, h.b2),
+                 rows=(None if h.rows is None
+                       else jnp.where(cut[None, :], h2.rows, h.rows)))
         cand = cut
     return h
 
@@ -425,6 +453,14 @@ def intersect_pair(geom: "Geometry", ext_rays, shadow_rays):
     if geom.has_motion:
         t_e = _shutter_time01(geom, ext_rays)
         t_s = _shutter_time01(geom, shadow_rays)
+    if geom.attrp is not None:
+        t, prim, b1, b2, occ, rows = tp.intersect_rays_pair(
+            geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
+            ext_rays.o, ext_rays.d, ext_rays.tmin, ext_rays.tmax,
+            shadow_rays.o, shadow_rays.d, shadow_rays.tmin, shadow_rays.tmax,
+            interpret=FORCE_PALLAS_INTERPRET, time_e=t_e, time_s=t_s,
+            rows_table=geom.attrp)
+        return Hits(t=t, prim=prim, b1=b1, b2=b2, rows=rows), occ
     t, prim, b1, b2, occ = tp.intersect_rays_pair(
         geom.packed, geom.perm, geom.world_bound[0], geom.world_bound[1],
         ext_rays.o, ext_rays.d, ext_rays.tmin, ext_rays.tmax,
@@ -492,8 +528,11 @@ def interaction(geom: Geometry, rays, hits, diffs=None):
     # ONE wide row gather fetches every per-face attribute (geometry,
     # precomputed ng/dpdu/dpdv, corner normals/uvs, ids) — a 262k-index
     # gather is index-bound on the v5e (~10 ms) regardless of row width,
-    # so this replaces ~26 gathers at the same unit cost (r4 trace)
-    rows = attr_rows(geom, prim)
+    # so this replaces ~26 gathers at the same unit cost (r4 trace).
+    # On the Pallas path the traversal finish already fetched the rows
+    # (Hits.rows, combined finish+interaction gather) — reuse them free.
+    rows = hits.rows if getattr(hits, "rows", None) is not None \
+        else attr_rows(geom, prim)
     v0 = attr_v3(rows, 0)
     e1g = attr_v3(rows, 3)
     e2g = attr_v3(rows, 6)
