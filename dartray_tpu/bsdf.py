@@ -364,6 +364,15 @@ def _slot_active(p: BSDFParams, flags: int):
     return act      # list of 6 (R,) bools
 
 
+def n_specular_components(p: BSDFParams):
+    """(R,) int32 count of active specular components (BSDF.numComponents(
+    BSDF_SPECULAR | BSDF_REFLECTION | BSDF_TRANSMISSION), used by the
+    Metropolis bidirectional connection weights,
+    metropolis_renderer.dart:636-637)."""
+    act = _slot_active(p, ALL)
+    return (act[SPEC_R].astype(jnp.int32) + act[SPEC_T].astype(jnp.int32))
+
+
 def measured_f(meas, wo: V3, wi: V3) -> V3:
     """RegularHalfangleBRDF.f (regular_halfangle_brdf.dart:23-81): map
     (wo, wi) to the half/difference-angle table index, gather RGB.

@@ -650,10 +650,14 @@ def sample_le(lt: LightTable, geom, light_idx, light_pdf,
 
     left, _ = jax.lax.fori_loop(0, max_iter, bs_body, (left, right))
     tri_k = jnp.clip(left - 1, 0, nt - 1)
-    tri_id = lt.tri_offset[li_] + tri_k
     b1, b2 = smp.uniform_sample_triangle(u_pos)
     from .scene import types as _st
-    rows = _st.attr_rows(geom, tri_id)
+    if lt.tri_rows is not None:
+        ridx = jnp.clip(lt.tri_row_offset[li_] + tri_k, 0,
+                        lt.tri_rows.shape[0] - 1)
+        rows = jnp.transpose(lt.tri_rows[ridx])
+    else:
+        rows = _st.attr_rows(geom, lt.tri_offset[li_] + tri_k)
     tv0 = _st.attr_v3(rows, 0)
     te1 = _st.attr_v3(rows, 3)
     te2 = _st.attr_v3(rows, 6)

@@ -74,23 +74,36 @@ def _radiance_for(scene, camera, width, height, li_fn, u, max_depth):
 def render(scene, camera, width, height, spp=100, n_chains=8192,
            n_bootstrap=4096, large_step_prob=0.25, max_depth=7,
            max_consecutive_rejects=512, do_direct_separately=True,
-           direct_spp=4, seed=0, progress=None):
+           direct_spp=4, seed=0, progress=None, bidirectional=True):
     """Full MLT render -> (H, W, 3) linear RGB.
 
     spp = mutations per pixel (`samplesperpixel`, Appendix B default 100).
+    bidirectional (reference default TRUE, metropolis_renderer.dart:42,
+    :664-674): each mutation evaluates the bidirectional radiance
+    (integrators/bdpt.path_l — eye+light subpaths with visibility-tested
+    connections), the scene class MLT exists for (caustics, hard indirect
+    visibility). False = eye-path-only PSSMLT over the plain path
+    integrator.
     """
     from ..scene import types as _st
+    from ..integrators import bdpt
     scene = _st.to_device(scene)
-    n_dims = 16 + 10 * (max_depth + 2)
     key = jax.random.PRNGKey(seed)
 
-    ig = pi.PathIntegrator(max_depth=max_depth)
-    if do_direct_separately:
-        # MLT measures the indirect suffix; direct light + directly-visible
-        # emission come from a standard sampler-renderer pass.
-        li_fn = partial(pi.li, ig, skip_direct=True)
+    if bidirectional:
+        n_dims = bdpt.dims_for(max_depth, True)
+        li_fn = partial(bdpt.path_l, max_depth=max_depth,
+                        bidirectional=True,
+                        skip_direct=do_direct_separately)
     else:
-        li_fn = partial(pi.li, ig)
+        n_dims = 16 + 10 * (max_depth + 2)
+        ig = pi.PathIntegrator(max_depth=max_depth)
+        if do_direct_separately:
+            # MLT measures the indirect suffix; direct light +
+            # directly-visible emission come from a sampler-renderer pass.
+            li_fn = partial(pi.li, ig, skip_direct=True)
+        else:
+            li_fn = partial(pi.li, ig)
 
     rad = jax.jit(partial(_radiance_for, scene, camera, width, height,
                           li_fn, max_depth=max_depth))
