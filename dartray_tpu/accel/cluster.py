@@ -35,7 +35,7 @@ from ..core import math as vm
 from .traverse import Hits, TRI_EPS, BARY_EPS
 
 PACKET = 128          # rays per packet == TPU lane width
-DEFAULT_K = 32        # triangles per cluster
+DEFAULT_K = int(__import__("os").environ.get("DR_CLUSTER_K", "32"))  # tris per cluster (env-tunable for on-chip A/B)
 N_BUCKETS = 12
 
 

@@ -553,7 +553,9 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 # runs on scalar ALU without spill round-trips.
 # ---------------------------------------------------------------------------
 
-LBUF6 = 16
+# 32 measured best on the r5 bench (12.43 vs 12.17 Mrays/s at 16):
+# fewer outer-loop flush pauses amortize the scalar-serial node steps
+LBUF6 = int(__import__("os").environ.get("DR_LBUF6", "32"))
 _V6_SPILL_DEBUG = False    # read the (slot,row) hit matrix via a VMEM spill
                            # instead of the packed-bits reduce (debug aid)
 
@@ -1027,26 +1029,46 @@ DEFAULT_KERNEL = dict(closest_coherent=("v6", 8), closest=("v6", 8),
                       any=("v6", 8))
 
 
+_SORT_KEY_MODE = __import__("os").environ.get("DR_SORT_KEY", "origin")
+
+
 def sort_key_i32(oc, dc, tmin, tmax, lo, hi, anyflag=None):
     """int32 coherence key: dead flag | any-hit flag | direction octant |
     21-bit Morton of the origin quantized into the scene bounds (sort_order
     semantics in 26 bits — fits the single int32 key operand of the fused
     wave sort). `anyflag` (mixed waves): shadow lanes group into their own
-    blocks so the kernel's all-shadow-lanes-done early exit can fire."""
-    sc = 127.0 / jnp.maximum(hi - lo, 1e-9)
-    qs = [jnp.clip((oc[c] - lo[c]) * sc[c], 0.0, 127.0).astype(jnp.int32)
-          for c in range(3)]
+    blocks so the kernel's all-shadow-lanes-done early exit can fire.
 
+    DR_SORT_KEY=dir swaps the 21 Morton bits for 12-bit coarse origin
+    Morton + 9-bit direction Morton (A/B probe: secondary diffuse packets
+    share an origin cell but spread over the hemisphere — the per-row node
+    walk visits the UNION of 128 lanes' node sets, so a tighter direction
+    cone may shrink the walk more than finer origin cells do)."""
     def spread7(x):
         x = (x | (x << 8)) & 0x0300F00F
         x = (x | (x << 4)) & 0x030C30C3
         x = (x | (x << 2)) & 0x09249249
         return x
 
-    m = (spread7(qs[0]) | (spread7(qs[1]) << 1) | (spread7(qs[2]) << 2))
     octant = ((dc[0] < 0) * 1 + (dc[1] < 0) * 2
               + (dc[2] < 0) * 4).astype(jnp.int32)
     dead = (tmax < tmin).astype(jnp.int32)
+    if _SORT_KEY_MODE == "dir":
+        sc = 15.0 / jnp.maximum(hi - lo, 1e-9)
+        qs = [jnp.clip((oc[c] - lo[c]) * sc[c], 0.0, 15.0).astype(jnp.int32)
+              for c in range(3)]
+        mo = (spread7(qs[0]) | (spread7(qs[1]) << 1)
+              | (spread7(qs[2]) << 2)) & 0xFFF
+        qd = [jnp.clip(jnp.abs(dc[c]) * 7.999, 0.0,
+                       7.0).astype(jnp.int32) for c in range(3)]
+        md = (spread7(qd[0]) | (spread7(qd[1]) << 1)
+              | (spread7(qd[2]) << 2)) & 0x1FF
+        m = (mo << 9) | md
+    else:
+        sc = 127.0 / jnp.maximum(hi - lo, 1e-9)
+        qs = [jnp.clip((oc[c] - lo[c]) * sc[c], 0.0,
+                       127.0).astype(jnp.int32) for c in range(3)]
+        m = (spread7(qs[0]) | (spread7(qs[1]) << 1) | (spread7(qs[2]) << 2))
     key = (dead << 25) | (octant << 21) | m
     if anyflag is not None:
         key = key | ((anyflag > 0).astype(jnp.int32) << 24)
