@@ -414,11 +414,52 @@ def apply_overrides(job: RenderJob, ov: dict, log=print) -> RenderJob:
     name, params = name_params("accelerator")
     if name:
         job = _override_accelerator(job, name, log)
-    for key in ("camera", "film", "pixelSampler"):
+    name, params = name_params("camera")
+    if name:
+        job = _override_camera(job, name, params, log)
+    for key in ("film", "pixelSampler"):
         if key in ov:
-            log(f"note: {key} override accepted but requires re-parsing "
-                f"the scene to take effect (compiled at parse time)")
+            log(f"note: {key} override accepted but is a no-op by design "
+                f"(the film is the fixed XYZW accumulator; pixel samplers "
+                f"are N/A under the wavefront design, samplers.py)")
     return job
+
+
+def _override_camera(job: RenderJob, name: str, params, log=print) \
+        -> RenderJob:
+    """Camera override WITHOUT re-parsing (render_overrides.dart:27-150 can
+    override any setting): rebuild the camera of the requested type over
+    the scene's existing camera-to-world transform, shutter interval and
+    motion (params: fov / lensradius / focaldistance where applicable)."""
+    import dataclasses
+    from .. import cameras as cam_mod
+    old = job.camera
+    pf = (lambda k, d: params.find_one_float(k, d)) if params \
+        else (lambda k, d: d)
+    common = dict(shutter_open=float(old.shutter_open),
+                  shutter_close=float(old.shutter_close),
+                  animated=old.animated)
+    if name == "perspective":
+        cam = cam_mod.perspective(
+            old.cam2world, pf("fov", 60.0), job.width, job.height,
+            lens_radius=pf("lensradius", float(old.lens_radius)),
+            focal_distance=pf("focaldistance", float(old.focal_distance)),
+            **common)
+    elif name == "orthographic":
+        cam = cam_mod.orthographic(
+            old.cam2world, job.width, job.height,
+            lens_radius=pf("lensradius", float(old.lens_radius)),
+            focal_distance=pf("focaldistance", float(old.focal_distance)),
+            **common)
+    elif name == "environment":
+        cam = cam_mod.environment(old.cam2world, job.width, job.height,
+                                  shutter_open=common["shutter_open"],
+                                  shutter_close=common["shutter_close"],
+                                  animated=common["animated"])
+    else:
+        log(f"warning: unknown camera override {name!r} ignored")
+        return job
+    return dataclasses.replace(job, camera=cam)
 
 
 def _override_accelerator(job: RenderJob, name: str, log=print) -> RenderJob:
