@@ -556,6 +556,24 @@ def traverse5(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
 # 32 measured best on the r5 bench (12.43 vs 12.17 Mrays/s at 16):
 # fewer outer-loop flush pauses amortize the scalar-serial node steps
 LBUF6 = int(__import__("os").environ.get("DR_LBUF6", "32"))
+_V6_SCALARX = int(__import__("os").environ.get("DR_V6_SCALARX", "1"))
+_V6_NODEX = int(__import__("os").environ.get("DR_V6_NODEX", "1"))
+_V6_FLUSHX = int(__import__("os").environ.get("DR_V6_FLUSHX", "1"))
+_V6_MTX = int(__import__("os").environ.get("DR_V6_MTX", "1"))
+# push-loop strategy: "loop" (default) = 64-iteration (row x slot) scalar
+# loop, fully unrolled straight-line code; "bits" = order-space hit mask +
+# de Bruijn set-bit iteration — scalar work proportional to the number of
+# HIT children, but MEASURED SLOWER (26.5->33.7 ms coherent, 123->154 ms
+# incoherent): the data-dependent nested while serializes where the
+# unrolled loop software-pipelines. Kept opt-in for re-evaluation on
+# future chips; the ablation knobs DR_V6_{SCALARX,NODEX,FLUSHX,MTX}
+# measure each stage's true cost share by duplicating it (CSE-proofed).
+_V6_PUSH_BITS = __import__("os").environ.get("DR_V6_PUSH", "loop") == "bits"
+# de Bruijn B(2,5) ctz table: _DB_TAB[((x&-x)*_DB_MUL) >>> 27] = ctz(x)
+_DB_MUL = np.int32(0x077CB531)
+_DB_TAB = np.zeros((32, 1), np.int32)
+for _i in range(32):
+    _DB_TAB[((((1 << _i) * 0x077CB531) & 0xFFFFFFFF) >> 27) & 31, 0] = _i
 _V6_SPILL_DEBUG = False    # read the (slot,row) hit matrix via a VMEM spill
                            # instead of the packed-bits reduce (debug aid)
 
@@ -567,7 +585,12 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
              *rest,
              k: int, rows: int, any_hit: bool, n_wnodes: int,
              null_node: int, null_cluster: int, bf16: bool = False,
-             mixed: bool = False, motion: bool = False):
+             mixed: bool = False, motion: bool = False,
+             push_bits: bool = False):
+    # push_bits mode repurposes the order-table refs: wo_ref carries the
+    # (8*W', 4) 16-bit-packed unified child refs in PUSH ORDER (wrefp),
+    # w0_ref the (8*W', 8) order-space mask weights 2^orderpos(slot)
+    # (winv), w1_ref the (32, 1) de Bruijn ctz table; w2_ref is unused.
     # mixed: per-LANE any-hit flag plane (merged extension+shadow waves,
     # VERDICT r5 #1a): af > 0 lanes early-out on first hit like any_hit,
     # af == 0 lanes run the full closest-hit walk. The two semantics share
@@ -600,7 +623,6 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
     tmin = tmin_ref[:]
     tmax = tmax_ref[:]
     anyf = (af_ref[:] > 0.0) if mixed else None
-    time3 = time_ref[:].reshape(1, P, 128) if motion else None
 
     def safe_inv(d):
         tiny = jnp.where(d < 0, jnp.float32(-1e-30), jnp.float32(1e-30))
@@ -640,11 +662,12 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
     iz3 = iz.reshape(1, P, 128)
     tmin3 = tmin.reshape(1, P, 128)
     alive3 = alive.reshape(1, P, 128)
+    time3 = time_ref[:].reshape(1, P, 128) if motion else None
     # hit-bit packing weights: 3 groups of (rows-in-group x 8 slots) bits,
     # exact power-of-two constants passed as inputs (a runtime exp2() is
     # NOT guaranteed exact for integer arguments and corrupts the pack)
     GROUPS = ((0, 1, 2), (3, 4, 5), (6, 7))
-    w_groups = [w0_ref[:], w1_ref[:], w2_ref[:]]
+    w_groups = None if push_bits else [w0_ref[:], w1_ref[:], w2_ref[:]]
 
     def node_steps(t_best, prim):
         def cond(st):
@@ -689,15 +712,130 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                     & ((prim < 0) | ~anyf).reshape(1, P, 128)
             else:
                 slab = (tn <= tf) & alive3
+            # ablation (DR_V6_NODEX=N): N-1 duplicate slab-test blocks on
+            # perturbed node ids (CSE-proof) folded via a never-true select
+            for _rep in range(_V6_NODEX - 1):
+                br2 = [wb_ref[pl.ds(jnp.maximum(node_r[r], 1), 1), :]
+                       for r in range(P)]
+                B2 = jnp.concatenate(br2, axis=0)
+
+                def comp2(c):
+                    seg = B2[:, 8 * c:8 * (c + 1)]
+                    return jnp.transpose(seg, (1, 0)).reshape(8, P, 1)
+
+                q0x = (comp2(0) - o3[0]) * ix3
+                q1x = (comp2(3) - o3[0]) * ix3
+                q0y = (comp2(1) - o3[1]) * iy3
+                q1y = (comp2(4) - o3[1]) * iy3
+                q0z = (comp2(2) - o3[2]) * iz3
+                q1z = (comp2(5) - o3[2]) * iz3
+                tn2 = jnp.maximum(jnp.maximum(jnp.minimum(q0x, q1x),
+                                              jnp.minimum(q0y, q1y)),
+                                  jnp.maximum(jnp.minimum(q0z, q1z),
+                                              tmin3))
+                tf2 = jnp.minimum(jnp.minimum(jnp.maximum(q0x, q1x),
+                                              jnp.maximum(q0y, q1y)),
+                                  jnp.maximum(q0z, q1z))
+                t_best = jnp.where(
+                    jnp.max(jnp.where(tn2 <= tf2, tn2, tf2), axis=0)
+                    < jnp.float32(-3e38), tmin, t_best)
             # (slot, row) hit matrix -> 3 packed f32 scalars (<= 24 bits)
             hit_sr = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=2) > 0.5
             if _V6_SPILL_DEBUG:
                 spill_ref[:, 0:8] = jnp.transpose(
                     jnp.where(hit_sr, 1.0, 0.0), (1, 0))    # (P rows, 8)
+            if push_bits:
+                # order-space hit mask per row: one winv row gather gives
+                # the 2^orderpos(slot) weights; the weighted slot-sum IS
+                # the mask with bit p = "child at push position p was hit"
+                # (exact: 8 bits < 2^24 in f32)
+                wvrows = jnp.concatenate(
+                    [w0_ref[pl.ds(qw_r[r] + node_r[r], 1), :]
+                     for r in range(P)], axis=0)            # (P, 8)
+                hit_rs = jnp.transpose(
+                    jnp.where(hit_sr, 1.0, 0.0), (1, 0))    # (P, 8)
+                spill_ref[:, 3:4] = jnp.sum(hit_rs * wvrows, axis=1,
+                                            keepdims=True)
+                full = jnp.bool_(False)
+                for r in range(P):
+                    row = qw_r[r] + node_r[r]
+                    pw = [wo_ref[row, w] for w in range(4)]
+                    m0 = spill_ref[r, 3].astype(jnp.int32)
+
+                    def pcond(c):
+                        return c[0] != 0
+
+                    def pbody(c, r=r, pw=pw):
+                        m, sp, cnt = c
+                        low = m & (-m)
+                        idx = jax.lax.shift_right_logical(
+                            (low * _DB_MUL).astype(jnp.uint32),
+                            jnp.uint32(27)).astype(jnp.int32) & 31
+                        p = w1_ref[idx, 0]           # ctz = push position
+                        a = jnp.where(
+                            p < 2, pw[0],
+                            jnp.where(p < 4, pw[1],
+                                      jnp.where(p < 6, pw[2], pw[3])))
+                        hi16 = jax.lax.shift_right_logical(
+                            a.astype(jnp.uint32),
+                            jnp.uint32(16)).astype(jnp.int32)
+                        fld = jnp.where((p & 1) > 0, hi16, a & 0xFFFF)
+                        leaf = fld >= n_wnodes
+
+                        @pl.when(~leaf)
+                        def _():
+                            stack_ref[sp, r] = fld
+
+                        @pl.when(leaf)
+                        def _():
+                            lbuf_ref[r, cnt] = fld - n_wnodes
+
+                        return (m & (m - 1), sp + jnp.where(leaf, 0, 1),
+                                cnt + jnp.where(leaf, 1, 0))
+
+                    _, sp, cnt = jax.lax.while_loop(
+                        pcond, pbody, (m0, sp_ref[r], lcnt_ref[r]))
+                    sp_ref[r] = sp
+                    lcnt_ref[r] = cnt
+                    full = full | (cnt + 8 > LBUF6)
+                live = jnp.bool_(False)
+                for r in range(P):
+                    live = live | (sp_ref[r] > 0)
+                if any_hit:
+                    live = live & ~jnp.all((prim >= 0) | ~alive)
+                elif mixed:
+                    live = live & ~jnp.all(~alive | (anyf & (prim >= 0)))
+                return t_best, full, live
             bits = []
             for wg in w_groups:
                 bits.append(jnp.sum(jnp.where(hit_sr, wg, 0.0))
                             .astype(jnp.int32))
+            # ablation (DR_V6_SCALARX=N): N-1 duplicate passes of the push
+            # loop writing to a trash row — the measured slope IS the
+            # scalar loop's cost share (walk is unchanged)
+            for _rep in range(_V6_SCALARX - 1):
+                for gi, g in enumerate(GROUPS):
+                    for r in g:
+                        sp = sp_ref[r]
+                        for s in range(8):
+                            e = wo_ref[qw_r[r] + node_r[r], s]
+                            slot = e & 7
+                            ref = jax.lax.shift_right_arithmetic(e, 3)
+                            hit_s = ((bits[gi] >> (slot + 8 * (r - g[0])))
+                                     & 1) > 0
+                            push = hit_s & (ref >= 0)
+                            take = hit_s & (ref < 0)
+
+                            @pl.when(push)
+                            def _():
+                                stack_ref[STACK_DEPTH - 1, r] = ref
+
+                            @pl.when(take)
+                            def _():
+                                stack_ref[STACK_DEPTH - 1, r] = -ref - 1
+
+                            sp = sp + jnp.where(push, 1, 0)
+                        stack_ref[STACK_DEPTH - 1, r] = sp
             full = jnp.bool_(False)
             for gi, g in enumerate(GROUPS):
                 for r in g:
@@ -756,6 +894,15 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                               jnp.int32(null_cluster)) for r in range(P)]
 
             def cols(ref):
+                # 9 per-component (P,K) gathers + (K,P) transposes. The
+                # transposes are the flush's real cost (~44% of kernel;
+                # gathers and MT math are both fully hidden — r5 ablation
+                # DR_V6_{MTX,FLUSHX}) but every alternative measured
+                # WORSE: fused (P,9K) gather + one big transpose
+                # 123->130 ms, fused gather + 9 slice-transposes
+                # 123->145, sublane-ray MT (no transpose, K-on-lanes 25%
+                # util) 123->941. Mosaic's native per-component layout
+                # wins; the relayout is the kernel-family plateau.
                 rows_ = [ref[pl.ds(cids[r], 1), :] for r in range(P)]
                 m = jnp.concatenate(rows_, axis=0)          # (P, K)
                 return jnp.transpose(m, (1, 0)).reshape(k, P, 1)
@@ -784,6 +931,35 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
             rsel = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
             for r in range(P):
                 base = jnp.where(rsel == r, cids[r] * k, base)
+            # ablation (DR_V6_MTX=N): N-1 duplicate MT evals on the SAME
+            # gathered triangles (isolates arithmetic from gather cost)
+            for _rep in range(_V6_MTX - 1):
+                tm3 = _mt_dense(o3, d3, jnp.minimum(tmin3,
+                                                    jnp.float32(3e38)),
+                                v0, e1, e2, k, bf16=bf16)
+                t_best = jnp.where(
+                    jnp.min(tm3, axis=0) < jnp.float32(-3e38),
+                    jnp.float32(0.0), t_best)
+            # ablation (DR_V6_FLUSHX=N): N-1 duplicate leaf MT rounds on
+            # perturbed cluster ids, folded via a never-true select
+            for _rep in range(_V6_FLUSHX - 1):
+                cid2 = [jnp.maximum(cids[r], 1) for r in range(P)]
+
+                def cols2(ref):
+                    rows_ = [ref[pl.ds(cid2[r], 1), :] for r in range(P)]
+                    m2 = jnp.concatenate(rows_, axis=0)
+                    return jnp.transpose(m2, (1, 0)).reshape(k, P, 1)
+
+                tm2 = _mt_dense(o3, d3, tmin3,
+                                (cols2(v0x_ref), cols2(v0y_ref),
+                                 cols2(v0z_ref)),
+                                (cols2(e1x_ref), cols2(e1y_ref),
+                                 cols2(e1z_ref)),
+                                (cols2(e2x_ref), cols2(e2y_ref),
+                                 cols2(e2z_ref)), k, bf16=bf16)
+                t_best = jnp.where(
+                    jnp.min(tm2, axis=0) < jnp.float32(-3e38),
+                    jnp.float32(0.0), t_best)
             return _fold_packed(tm, t_best, prim, base, k)
 
         t_best, prim = jax.lax.fori_loop(0, max_cnt, round_fn,
@@ -861,14 +1037,33 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
     if motion:
         tri_args = tri_args + (with_null(bvh.tdv0) + with_null(bvh.tde1)
                                + with_null(bvh.tde2))
-    # exact bit-pack weight constants (see _kernel6)
-    w_args = []
-    for g in ((0, 1, 2), (3, 4, 5), (6, 7)):
-        wg = np.zeros((8, block_rows), np.float64)
-        for row_ in g:
-            for s_ in range(8):
-                wg[s_, row_] = 2.0 ** (s_ + 8 * (row_ - g[0]))
-        w_args.append(jnp.asarray(wg.astype(np.float32)))
+    push_bits = _V6_PUSH_BITS and (bvh.n_wnodes + bvh.n_clusters + 3
+                                   <= 0xFFFF)
+    if push_bits:
+        # bits mode (see _kernel6): unified 16-bit child refs in push
+        # order (interior -> node id, leaf -> W' + cluster), 4 per pair
+        # of i32 words, plus the order-space mask weights and ctz table
+        wprime = bvh.n_wnodes + 1
+        slots = wo & 7
+        refs = jax.lax.shift_right_arithmetic(wo, 3)
+        uni = jnp.where(refs >= 0, refs, wprime + (-refs - 1))
+        wrefp = (uni[:, 0::2] | (uni[:, 1::2] << 16)).astype(jnp.int32)
+        pos_w = (2.0 ** np.arange(8)).astype(np.float32)
+        winv = jnp.sum(jnp.where(
+            slots[:, :, None] == jnp.arange(8, dtype=jnp.int32)[None, None],
+            pos_w[None, :, None], 0.0), axis=1)             # (8*W', 8)
+        w_args = [winv, jnp.asarray(_DB_TAB),
+                  jnp.zeros((1, 8), jnp.float32)]
+        wo = wrefp
+    else:
+        # exact bit-pack weight constants (see _kernel6)
+        w_args = []
+        for g in ((0, 1, 2), (3, 4, 5), (6, 7)):
+            wg = np.zeros((8, block_rows), np.float64)
+            for row_ in g:
+                for s_ in range(8):
+                    wg[s_, row_] = 2.0 ** (s_ + 8 * (row_ - g[0]))
+            w_args.append(jnp.asarray(wg.astype(np.float32)))
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
@@ -877,7 +1072,7 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
     kern = partial(_kernel6, k=bvh.k, rows=block_rows, any_hit=any_hit,
                    n_wnodes=bvh.n_wnodes + 1, null_node=null_node,
                    null_cluster=null_cluster, bf16=bf16, mixed=mixed,
-                   motion=motion)
+                   motion=motion, push_bits=push_bits)
     n_planes = 8 + (1 if mixed else 0) + (1 if motion else 0)
 
     def call2(pls):
