@@ -183,6 +183,10 @@ def _mt_dense(o3, d3, tmin3, v0, e1, e2, k, bf16: bool = False):
     py = d3[2] * e2[0] - d3[0] * e2[2]
     pz = d3[0] * e2[1] - d3[1] * e2[0]
     det = e1[0] * px + e1[1] * py + e1[2] * pz
+    if bf16:
+        # v5e rejects bf16 vector comparisons — det/u/v promote to f32
+        # here (elementwise); the expensive dot products above stay bf16
+        det = det.astype(jnp.float32)
     inv_det = 1.0 / jnp.where(jnp.abs(det) < tri_eps,
                               jnp.asarray(1.0, det.dtype), det)
     tx = o3[0] - v0[0]
@@ -560,6 +564,12 @@ _V6_SCALARX = int(__import__("os").environ.get("DR_V6_SCALARX", "1"))
 _V6_NODEX = int(__import__("os").environ.get("DR_V6_NODEX", "1"))
 _V6_FLUSHX = int(__import__("os").environ.get("DR_V6_FLUSHX", "1"))
 _V6_MTX = int(__import__("os").environ.get("DR_V6_MTX", "1"))
+# DR_V6_PAIR=2: pop TWO nodes per row per step — two independent
+# slab/reduce pipelines share one scalar<->vector sync round trip (the
+# serialized pop->gather->slab->reduce->push chain is the step wall once
+# vector work is hidden). Push order: second node's children first, so
+# the first (nearer, DFS-top) node's children stay on top of the stack.
+_V6_PAIR = int(__import__("os").environ.get("DR_V6_PAIR", "1"))
 # push-loop strategy: "loop" (default) = 64-iteration (row x slot) scalar
 # loop, fully unrolled straight-line code; "bits" = order-space hit mask +
 # de Bruijn set-bit iteration — scalar work proportional to the number of
@@ -677,41 +687,52 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
         def body(st):
             t_best, full, _ = st
             node_r = []
+            node2_r = []            # second popped node (DR_V6_PAIR=2)
             for r in range(P):
                 sp = sp_ref[r]
                 n_ = stack_ref[jnp.maximum(sp - 1, 0), r]
                 node_r.append(jnp.where(sp > 0, n_, jnp.int32(null_node)))
-                sp_ref[r] = jnp.maximum(sp - 1, 0)
-            brows = [wb_ref[pl.ds(node_r[r], 1), :] for r in range(P)]
-            B = jnp.concatenate(brows, axis=0)            # (P, 48)
+                sp = jnp.maximum(sp - 1, 0)
+                if _V6_PAIR >= 2 and not push_bits:
+                    n2 = stack_ref[jnp.maximum(sp - 1, 0), r]
+                    node2_r.append(jnp.where(sp > 0, n2,
+                                             jnp.int32(null_node)))
+                    sp = jnp.maximum(sp - 1, 0)
+                sp_ref[r] = sp
 
-            def comp(c):
-                seg = B[:, 8 * c:8 * (c + 1)]             # (P, 8)
-                return jnp.transpose(seg, (1, 0)).reshape(8, P, 1)
+            def slab_for(nlist):
+                brows = [wb_ref[pl.ds(nlist[r], 1), :] for r in range(P)]
+                B = jnp.concatenate(brows, axis=0)        # (P, 48)
 
-            lox, loy, loz = comp(0), comp(1), comp(2)
-            hix, hiy, hiz = comp(3), comp(4), comp(5)
-            t0x = (lox - o3[0]) * ix3
-            t1x = (hix - o3[0]) * ix3
-            t0y = (loy - o3[1]) * iy3
-            t1y = (hiy - o3[1]) * iy3
-            t0z = (loz - o3[2]) * iz3
-            t1z = (hiz - o3[2]) * iz3
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.maximum(jnp.minimum(t0z, t1z), tmin3))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.minimum(jnp.maximum(t0z, t1z),
-                                         t_best.reshape(1, P, 128)))
-            if any_hit:
-                slab = (tn <= tf) & alive3 \
-                    & (prim < 0).reshape(1, P, 128)
-            elif mixed:
-                slab = (tn <= tf) & alive3 \
-                    & ((prim < 0) | ~anyf).reshape(1, P, 128)
-            else:
-                slab = (tn <= tf) & alive3
+                def comp(c):
+                    seg = B[:, 8 * c:8 * (c + 1)]         # (P, 8)
+                    return jnp.transpose(seg, (1, 0)).reshape(8, P, 1)
+
+                lox, loy, loz = comp(0), comp(1), comp(2)
+                hix, hiy, hiz = comp(3), comp(4), comp(5)
+                t0x = (lox - o3[0]) * ix3
+                t1x = (hix - o3[0]) * ix3
+                t0y = (loy - o3[1]) * iy3
+                t1y = (hiy - o3[1]) * iy3
+                t0z = (loz - o3[2]) * iz3
+                t1z = (hiz - o3[2]) * iz3
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z),
+                                             tmin3))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.minimum(jnp.maximum(t0z, t1z),
+                                             t_best.reshape(1, P, 128)))
+                if any_hit:
+                    return (tn <= tf) & alive3 \
+                        & (prim < 0).reshape(1, P, 128)
+                elif mixed:
+                    return (tn <= tf) & alive3 \
+                        & ((prim < 0) | ~anyf).reshape(1, P, 128)
+                return (tn <= tf) & alive3
+
+            slab = slab_for(node_r)
             # ablation (DR_V6_NODEX=N): N-1 duplicate slab-test blocks on
             # perturbed node ids (CSE-proof) folded via a never-true select
             for _rep in range(_V6_NODEX - 1):
@@ -741,6 +762,16 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                     < jnp.float32(-3e38), tmin, t_best)
             # (slot, row) hit matrix -> 3 packed f32 scalars (<= 24 bits)
             hit_sr = jnp.sum(jnp.where(slab, 1.0, 0.0), axis=2) > 0.5
+            if _V6_PAIR >= 2 and not push_bits:
+                # second node's hit matrix — an independent vector
+                # pipeline sharing this step's scalar sync round trip
+                slab2 = slab_for(node2_r)
+                hit2_sr = jnp.sum(jnp.where(slab2, 1.0, 0.0),
+                                  axis=2) > 0.5
+                bits2 = []
+                for wg in w_groups:
+                    bits2.append(jnp.sum(jnp.where(hit2_sr, wg, 0.0))
+                                 .astype(jnp.int32))
             if _V6_SPILL_DEBUG:
                 spill_ref[:, 0:8] = jnp.transpose(
                     jnp.where(hit_sr, 1.0, 0.0), (1, 0))    # (P rows, 8)
@@ -837,6 +868,37 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                             sp = sp + jnp.where(push, 1, 0)
                         stack_ref[STACK_DEPTH - 1, r] = sp
             full = jnp.bool_(False)
+            pair = _V6_PAIR >= 2 and not push_bits
+            marg = 16 if pair else 8
+            if pair:
+                # push the SECOND node's children first: the first node
+                # was the stack top (DFS-nearer), so its children must
+                # end up above the second's
+                for gi, g in enumerate(GROUPS):
+                    for r in g:
+                        sp = sp_ref[r]
+                        cnt = lcnt_ref[r]
+                        for s in range(8):
+                            e = wo_ref[qw_r[r] + node2_r[r], s]
+                            slot = e & 7
+                            ref = jax.lax.shift_right_arithmetic(e, 3)
+                            hit_s = ((bits2[gi]
+                                      >> (slot + 8 * (r - g[0]))) & 1) > 0
+                            push = hit_s & (ref >= 0)
+                            take = hit_s & (ref < 0)
+
+                            @pl.when(push)
+                            def _():
+                                stack_ref[sp, r] = ref
+
+                            @pl.when(take)
+                            def _():
+                                lbuf_ref[r, cnt] = -ref - 1
+
+                            sp = sp + jnp.where(push, 1, 0)
+                            cnt = cnt + jnp.where(take, 1, 0)
+                        sp_ref[r] = sp
+                        lcnt_ref[r] = cnt
             for gi, g in enumerate(GROUPS):
                 for r in g:
                     sp = sp_ref[r]
@@ -865,7 +927,7 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                         cnt = cnt + jnp.where(take, 1, 0)
                     sp_ref[r] = sp
                     lcnt_ref[r] = cnt
-                    full = full | (cnt + 8 > LBUF6)
+                    full = full | (cnt + marg > LBUF6)
             live = jnp.bool_(False)
             for r in range(P):
                 live = live | (sp_ref[r] > 0)
@@ -905,6 +967,12 @@ def _kernel6(wb_ref, wo_ref, w0_ref, w1_ref, w2_ref,
                 # wins; the relayout is the kernel-family plateau.
                 rows_ = [ref[pl.ds(cids[r], 1), :] for r in range(P)]
                 m = jnp.concatenate(rows_, axis=0)          # (P, K)
+                if bf16:
+                    # transpose in bf16 (halve the relayout bytes), but
+                    # reshape in f32 — Mosaic only inserts minor dims on
+                    # 32-bit types; _mt_dense re-casts elementwise (free)
+                    mt_ = jnp.transpose(m.astype(jnp.bfloat16), (1, 0))
+                    return mt_.astype(jnp.float32).reshape(k, P, 1)
                 return jnp.transpose(m, (1, 0)).reshape(k, P, 1)
 
             v0 = (cols(v0x_ref), cols(v0y_ref), cols(v0z_ref))
@@ -1031,7 +1099,9 @@ def traverse6(bvh: PackedBVH, o, d, tmin, tmax, *, any_hit: bool = False,
         z = jnp.zeros((1, bvh.k), jnp.asarray(arr3[0]).dtype)
         return [jnp.concatenate([jnp.asarray(arr3[c]), z]) for c in range(3)]
 
-    # bf16 mode keeps f32 refs; _mt_dense casts after the (1,K) transpose
+    # bf16 mode keeps f32 refs ((16,128)-tiled bf16 refs reject the
+    # single-row dynamic slices); cols() casts BEFORE the transpose so the
+    # relayout — the measured kernel wall — moves half the bytes
     tri_args = (with_null(bvh.tv0) + with_null(bvh.te1)
                 + with_null(bvh.te2))
     if motion:

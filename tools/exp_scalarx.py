@@ -34,9 +34,11 @@ def main():
                                   jnp.asarray([-1.2] * 3),
                                   jnp.asarray([1.2] * 3))
             o, d = o[order], d[order]
+        bf = os.environ.get("DR_BF16", "") == "1"
         for rep in range(2):       # rep 0 = tunnel warm-up, report rep 1
             bench(tp.traverse6, packed, o, d, tmin, tmax,
-                  f"{nm} v6 x{tp._V6_SCALARX} rep{rep}", block_rows=8)
+                  f"{nm} v6 x{tp._V6_SCALARX}{' bf16' if bf else ''} "
+                  f"rep{rep}", block_rows=8, bf16=bf)
 
 
 if __name__ == "__main__":
